@@ -1,0 +1,285 @@
+"""Typed configuration for the whole framework.
+
+Replaces the reference's scattered `os.getenv` dicts (reference:
+services/embedding_service.py:22-31, services/milvus_service.py:21-37,
+services/llm_service.py:20-47, services/medical_ner_service.py:26-31,
+services/diagnosis_entity_filter.py:61-70) with one frozen dataclass tree,
+while honoring the same environment variable names (reference: env.example).
+
+A tiny `.env` loader stands in for python-dotenv (not available here).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Optional
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal .env loader: KEY=VALUE lines, '#' comments, no interpolation."""
+    p = Path(path)
+    if not p.exists():
+        return
+    for line in p.read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        key, value = key.strip(), value.strip().strip("'\"")
+        os.environ.setdefault(key, value)
+
+
+def _env(name: str, default: str) -> str:
+    return os.getenv(name, default)
+
+
+def _env_bool(name: str, default: bool) -> bool:
+    raw = os.getenv(name)
+    if raw is None:
+        return default
+    return raw.strip().lower() in ("1", "true", "yes", "on")
+
+
+def _env_int(name: str, default: int) -> int:
+    raw = os.getenv(name)
+    return int(raw) if raw not in (None, "") else default
+
+
+def _env_float(name: str, default: float) -> float:
+    raw = os.getenv(name)
+    return float(raw) if raw not in (None, "") else default
+
+
+# Default corpus location: a user-supplied CSV with columns code,disease.
+# (The reference ships data/ICD_10v601.csv, 40,474 valid records.)
+_DEFAULT_DATA_CANDIDATES = (
+    "./data/ICD_10v601.csv",
+    "/root/reference/data/ICD_10v601.csv",
+)
+
+
+def default_icd_csv_path() -> Optional[str]:
+    for cand in _DEFAULT_DATA_CANDIDATES:
+        if Path(cand).exists():
+            return cand
+    return None
+
+
+@dataclass(frozen=True)
+class EncoderConfig:
+    """Sentence encoder config (reference: services/embedding_service.py:22-31)."""
+
+    model_name: str = field(
+        default_factory=lambda: _env(
+            "EMBEDDING_MODEL_NAME", "shibing624/text2vec-base-chinese"
+        )
+    )
+    # Reference hardcodes batch_size=32, max_length=512
+    # (embedding_service.py:27-28). On TPU we bucket sequence lengths to avoid
+    # recompilation storms; 512 stays the hard cap.
+    batch_size: int = 32
+    max_length: int = 512
+    length_buckets: tuple = (32, 64, 128, 256, 512)
+    # E5-style prefixes (reference: embedding_service.py:68-73,117-120).
+    # Only applied for e5-family models; text2vec ignores prefixes.
+    query_prefix: str = "query: "
+    passage_prefix: str = "passage: "
+    # Model architecture (text2vec-base-chinese == BERT-base, 768-d).
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    vocab_size: int = 21128  # bert-base-chinese vocab
+    type_vocab_size: int = 2
+    max_position_embeddings: int = 512
+    layer_norm_eps: float = 1e-12
+    # TPU numerics: bf16 activations, fp32 accumulation/normalization.
+    dtype: str = "bfloat16"
+    # Optional path to converted weights (msgpack/npz). None => deterministic
+    # random init (useful for tests/benchmarks without HF assets).
+    weights_path: Optional[str] = field(
+        default_factory=lambda: os.getenv("EMBEDDING_WEIGHTS_PATH") or None
+    )
+    vocab_path: Optional[str] = field(
+        default_factory=lambda: os.getenv("EMBEDDING_VOCAB_PATH") or None
+    )
+
+    @property
+    def is_e5(self) -> bool:
+        return "e5" in self.model_name.lower()
+
+
+@dataclass(frozen=True)
+class StoreConfig:
+    """Vector store config (reference: services/milvus_service.py:21-37).
+
+    Milvus-Lite is replaced by an HBM-resident matrix + host metadata columns,
+    persisted as npz + JSON sidecar. Env names kept for drop-in compat.
+    """
+
+    collection_name: str = field(
+        default_factory=lambda: _env("MILVUS_COLLECTION_NAME", "icd10")
+    )
+    db_path: str = field(
+        default_factory=lambda: _env("MILVUS_DB_PATH", "./db/icd10_store")
+    )
+    # FLAT + IP are what the reference actually builds
+    # (milvus_service.py:33-34,190-194); HNSW supported as a second path.
+    index_type: str = field(default_factory=lambda: _env("INDEX_TYPE", "FLAT"))
+    metric_type: str = "IP"
+    # Level weights applied at search time and re-sorted
+    # (milvus_service.py:292-316,550-558).
+    level_weights: tuple = (1.2, 1.0, 0.8)  # levels 1,2,3
+    # Corpus rows are padded to a multiple of this for TPU tiling.
+    pad_multiple: int = 1024
+
+
+@dataclass(frozen=True)
+class HNSWConfig:
+    """HNSW graph index (native C++ path; reference docs claim HNSW at
+    README.md:47 though the code builds FLAT)."""
+
+    M: int = 16
+    ef_construction: int = 200
+    ef_search: int = 64
+
+
+@dataclass(frozen=True)
+class LLMProviderConfig:
+    name: str = "deepseek"
+    api_key: str = ""
+    base_url: str = "https://api.deepseek.com/v1"
+    model: str = "deepseek-chat"
+
+
+@dataclass(frozen=True)
+class LLMConfig:
+    """LLM standardization client (reference: services/llm_service.py:20-47).
+
+    temperature 0.1 / max_tokens 2048 hardcoded (llm_service.py:29-30);
+    120 s client timeout (llm_service.py:58)."""
+
+    provider: str = field(default_factory=lambda: _env("LLM_PROVIDER", "deepseek"))
+    temperature: float = 0.1
+    max_tokens: int = 2048
+    timeout_s: float = 120.0
+    test_timeout_s: float = 90.0
+
+    @staticmethod
+    def providers() -> dict:
+        return {
+            "deepseek": LLMProviderConfig(
+                name="deepseek",
+                api_key=_env("DEEPSEEK_API_KEY", ""),
+                base_url=_env("DEEPSEEK_BASE_URL", "https://api.deepseek.com/v1"),
+                model=_env("DEEPSEEK_MODEL", "deepseek-chat"),
+            ),
+            "openai": LLMProviderConfig(
+                name="openai",
+                api_key=_env("OPENAI_API_KEY", ""),
+                base_url=_env("OPENAI_BASE_URL", "https://api.openai.com/v1"),
+                model=_env("OPENAI_MODEL", "gpt-3.5-turbo"),
+            ),
+            "local": LLMProviderConfig(
+                name="local",
+                api_key=_env("LOCAL_API_KEY", "not-required"),
+                base_url=_env("LOCAL_BASE_URL", "http://localhost:8000/v1"),
+                model=_env("LOCAL_MODEL", "local-medical-model"),
+            ),
+        }
+
+
+@dataclass(frozen=True)
+class NERConfig:
+    """Medical NER config (reference: services/medical_ner_service.py:26-31)."""
+
+    model_name: str = field(
+        default_factory=lambda: _env("MEDICAL_NER_MODEL", "lixin12345/chinese-medical-ner")
+    )
+    use_model: bool = field(
+        default_factory=lambda: _env_bool("USE_MEDICAL_NER_MODEL", True)
+    )
+    min_confidence: float = field(
+        default_factory=lambda: _env_float("MEDICAL_NER_MIN_CONFIDENCE", 0.5)
+    )
+
+
+@dataclass(frozen=True)
+class FilterConfig:
+    """Diagnosis entity filter config (reference:
+    services/diagnosis_entity_filter.py:61-70)."""
+
+    strict_mode: bool = field(
+        default_factory=lambda: _env_bool("DIAGNOSIS_FILTER_STRICT_MODE", False)
+    )
+    keep_drug_diseases: bool = field(
+        default_factory=lambda: _env_bool("KEEP_DRUG_DISEASES", True)
+    )
+    keep_lab_indicators: bool = field(
+        default_factory=lambda: _env_bool("KEEP_LAB_INDICATORS", True)
+    )
+    context_window: int = field(
+        default_factory=lambda: _env_int("FILTER_CONTEXT_WINDOW", 20)
+    )
+    confidence_threshold: float = field(
+        default_factory=lambda: _env_float("FILTER_CONFIDENCE_THRESHOLD", 0.6)
+    )
+    enable_context_analysis: bool = field(
+        default_factory=lambda: _env_bool("ENABLE_CONTEXT_ANALYSIS", True)
+    )
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Orchestration knobs (reference: services/multi_diagnosis_service.py,
+    tools/text_processor.py:36-39)."""
+
+    use_enhanced_text_processing: bool = field(
+        default_factory=lambda: _env_bool("USE_ENHANCED_TEXT_PROCESSING", True)
+    )
+    # Over-fetch factor before rescoring (multi_diagnosis_service.py:153).
+    overfetch: int = 2
+    # top_k bounds from the API contract (models/icd_models.py:135-138).
+    max_top_k: int = 50
+    # Static padding bucket for #diagnoses per request (XLA static shapes).
+    max_diagnoses: int = 16
+
+
+@dataclass(frozen=True)
+class APIConfig:
+    host: str = field(default_factory=lambda: _env("API_HOST", "0.0.0.0"))
+    port: int = field(default_factory=lambda: _env_int("API_PORT", 8005))
+    log_level: str = field(default_factory=lambda: _env("API_LOG_LEVEL", "info"))
+    ui_host: str = field(default_factory=lambda: _env("GRADIO_HOST", "0.0.0.0"))
+    ui_port: int = field(default_factory=lambda: _env_int("GRADIO_PORT", 7860))
+    # Request-coalescing window for batching concurrent queries into one
+    # device call (new capability; the reference is strictly sequential).
+    batch_window_ms: float = field(
+        default_factory=lambda: _env_float("BATCH_WINDOW_MS", 2.0)
+    )
+    max_batch: int = field(default_factory=lambda: _env_int("MAX_BATCH", 64))
+
+
+@dataclass(frozen=True)
+class Config:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    store: StoreConfig = field(default_factory=StoreConfig)
+    hnsw: HNSWConfig = field(default_factory=HNSWConfig)
+    llm: LLMConfig = field(default_factory=LLMConfig)
+    ner: NERConfig = field(default_factory=NERConfig)
+    filter: FilterConfig = field(default_factory=FilterConfig)
+    pipeline: PipelineConfig = field(default_factory=PipelineConfig)
+    api: APIConfig = field(default_factory=APIConfig)
+    data_path: Optional[str] = field(
+        default_factory=lambda: os.getenv("ICD_DATA_PATH") or default_icd_csv_path()
+    )
+    debug: bool = field(default_factory=lambda: _env_bool("DEBUG", False))
+    log_level: str = field(default_factory=lambda: _env("LOG_LEVEL", "INFO"))
+
+
+def get_config() -> Config:
+    """Build a Config snapshot from the current environment (.env honored)."""
+    load_dotenv()
+    return Config()

@@ -1,0 +1,27 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Must set XLA flags before jax initializes, so this executes at conftest
+import time (pytest loads conftest before test modules).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def real_csv_path():
+    """Path to the real ICD-10 CSV if present, else skip."""
+    from rag_icd10_tpu.config import default_icd_csv_path
+
+    path = default_icd_csv_path()
+    if path is None:
+        pytest.skip("real ICD-10 CSV not available")
+    return path
