@@ -1,0 +1,401 @@
+"""HBM-resident vector store — the Milvus-Lite replacement.
+
+API parity with the reference MilvusService (services/milvus_service.py):
+``insert_records`` (:208), ``search`` (:271, level-weighted + re-sorted),
+``load_collection``/``release_collection`` (:343,:411), ``clear_collection``,
+``get_collection_stats``, ``get_memory_usage`` (:497, bytes = n*dim*4),
+``health_check`` (:524), ``test_connection`` (:373).
+
+TPU-first differences:
+- The collection is a padded (N, D) matrix resident in HBM plus host-side
+  metadata columns; persistence is an .npz + JSON sidecar instead of a
+  SQLite-backed Milvus Lite file (reference db file: ./db/milvus_icd10.db,
+  milvus_service.py:31).
+- ``search`` takes a BATCH of query vectors and issues ONE fused device
+  program (Pallas scoring + top-k); the level weights ×{1.2,1.0,0.8}
+  (milvus_service.py:550-558) are fused into the kernel epilogue, not a
+  Python post-pass.
+- load/release_collection move the matrix on/off device — the same warm-
+  state lifecycle the reference exposes via /resource endpoints.
+- Search-time shapes are bucketed (batch rows -> power of two, k -> small
+  grid) so the jit cache stays bounded.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from ..config import StoreConfig
+from ..data.corpus import ICDCorpus, ICDRecord
+from ..ops.flat_topk import flat_search_jax, pad_corpus
+from ..ops.pallas_score import fused_search
+
+
+def _use_pallas() -> bool:
+    """The fused Pallas kernel targets the TPU Mosaic compiler; on CPU
+    (tests / virtual meshes) the pure-XLA path is used instead."""
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+_K_BUCKETS = (8, 16, 32, 64, 128)
+
+
+def _bucket_k(k: int) -> int:
+    for b in _K_BUCKETS:
+        if k <= b:
+            return b
+    return _K_BUCKETS[-1]
+
+
+def _next_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def _tile_n(n_padded: int, cap: int = 2048) -> int:
+    """Largest power-of-two corpus tile <= cap dividing the padded row
+    count (pad_multiple must be a multiple of 128)."""
+    t = cap
+    while t > 128 and n_padded % t:
+        t //= 2
+    return t
+
+
+@dataclass
+class SearchHit:
+    """One search result row (fields per reference schema,
+    milvus_service.py:174-186 + weighted score semantics :292-316)."""
+
+    id: int
+    code: str
+    preferred_zh: str
+    score: float  # level-weighted score (may exceed raw cosine)
+    original_score: float  # raw IP/cosine before level weighting
+    level: int
+    parent_code: str
+    category_path: str
+    semantic_text: str
+    main_code: str = ""
+    secondary_code: str = ""
+    has_complication: bool = False
+
+    def to_dict(self) -> Dict:
+        return {
+            "id": self.id,
+            "code": self.code,
+            "preferred_zh": self.preferred_zh,
+            "score": self.score,
+            "original_score": self.original_score,
+            "level": self.level,
+            "parent_code": self.parent_code,
+            "category_path": self.category_path,
+            "semantic_text": self.semantic_text,
+            "main_code": self.main_code,
+            "secondary_code": self.secondary_code,
+            "has_complication": self.has_complication,
+        }
+
+
+class VectorStore:
+    """Batched TPU flat-scan vector store over an ICD corpus."""
+
+    def __init__(self, dim: int, config: Optional[StoreConfig] = None):
+        self.config = config or StoreConfig()
+        self.dim = dim
+        self.corpus: Optional[ICDCorpus] = None
+        self._vectors: Optional[np.ndarray] = None  # host (N, D) fp32
+        # device-resident state (set by load_collection)
+        self._dev = None  # dict(corpus, weights, mask) of jax arrays
+        self._semantic_dev = None
+        self._semantic_vectors: Optional[np.ndarray] = None
+        self._loaded = False
+        self._searches = 0
+        self._created_at = time.time()
+
+    # ------------------------------------------------------------ insert
+
+    def insert_records(
+        self,
+        records: Sequence[ICDRecord],
+        vectors: np.ndarray,
+        semantic_vectors: Optional[np.ndarray] = None,
+    ) -> int:
+        """Append records + their embeddings. Returns inserted count.
+
+        ``semantic_vectors`` optionally carries embeddings of each record's
+        ``semantic_text`` — kept resident so the rescoring stack never
+        re-embeds candidates (the reference re-embeds 2x per candidate,
+        hierarchical_similarity_service.py:387-409).
+        """
+        vectors = np.asarray(vectors, dtype=np.float32)
+        assert vectors.shape == (len(records), self.dim), vectors.shape
+        new = ICDCorpus(list(records))
+        if self.corpus is None:
+            self.corpus = new
+            self._vectors = vectors.copy()
+            if semantic_vectors is not None:
+                self._semantic_vectors = np.asarray(
+                    semantic_vectors, dtype=np.float32
+                ).copy()
+        else:
+            old, self.corpus = self.corpus, ICDCorpus([])
+            self.corpus.codes = old.codes + new.codes
+            self.corpus.titles = old.titles + new.titles
+            self.corpus.main_codes = old.main_codes + new.main_codes
+            self.corpus.secondary_codes = old.secondary_codes + new.secondary_codes
+            self.corpus.has_complication = np.concatenate(
+                [old.has_complication, new.has_complication]
+            )
+            self.corpus.levels = np.concatenate([old.levels, new.levels])
+            self.corpus.parent_codes = old.parent_codes + new.parent_codes
+            self.corpus.category_paths = old.category_paths + new.category_paths
+            self.corpus.semantic_texts = old.semantic_texts + new.semantic_texts
+            self.corpus._code_to_idx = None
+            self._vectors = np.concatenate([self._vectors, vectors], axis=0)
+            if self._semantic_vectors is not None:
+                # keep row-parallel with vectors; fall back to the record
+                # embeddings when no semantic_text embeddings were given
+                add = (
+                    np.asarray(semantic_vectors, np.float32)
+                    if semantic_vectors is not None
+                    else vectors
+                )
+                self._semantic_vectors = np.concatenate(
+                    [self._semantic_vectors, add]
+                )
+        self._loaded = False  # device state is stale
+        self._dev = None
+        return len(records)
+
+    # ----------------------------------------------------------- lifecycle
+
+    @property
+    def num_entities(self) -> int:
+        return 0 if self.corpus is None else len(self.corpus)
+
+    def load_collection(self) -> bool:
+        """Pad + transfer the corpus matrix, level weights and padding mask
+        to device HBM (reference analog: milvus_service.py:343)."""
+        if self._vectors is None or self.corpus is None:
+            return False
+        weights = self.corpus.level_weights(self.config.level_weights)
+        cp, wp, m = pad_corpus(
+            self._vectors, weights, multiple=self.config.pad_multiple
+        )
+        self._dev = {
+            "corpus": jax.device_put(cp),
+            "weights": jax.device_put(wp),
+            "mask": jax.device_put(m),
+        }
+        if self._semantic_vectors is not None:
+            sp, _, _ = pad_corpus(
+                self._semantic_vectors, weights, multiple=self.config.pad_multiple
+            )
+            self._semantic_dev = jax.device_put(sp)
+        self._loaded = True
+        return True
+
+    def release_collection(self) -> bool:
+        """Drop device arrays (reference analog: milvus_service.py:411)."""
+        self._dev = None
+        self._semantic_dev = None
+        self._loaded = False
+        return True
+
+    def clear_collection(self) -> bool:
+        self.release_collection()
+        self.corpus = None
+        self._vectors = None
+        self._semantic_vectors = None
+        return True
+
+    @property
+    def is_loaded(self) -> bool:
+        return self._loaded
+
+    # ------------------------------------------------------------- search
+
+    def search(
+        self,
+        query_vectors: np.ndarray,
+        top_k: int = 5,
+        method: str = "exact",
+    ) -> List[List[SearchHit]]:
+        """Batched search: (B, D) query vectors -> per-query top_k hits,
+        level-weighted and sorted desc (reference: milvus_service.py:271-316,
+        which handles one query; here B queries cost one device call)."""
+        if not self._loaded:
+            if not self.load_collection():
+                return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
+        q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        b = q.shape[0]
+        k_eff = min(max(top_k, 1), self.num_entities)
+        k_pad = _bucket_k(k_eff)
+        b_pad = _next_pow2(b)
+        q_pad = np.zeros((b_pad, self.dim), dtype=np.float32)
+        q_pad[:b] = q
+        if _use_pallas():
+            vals, idx = fused_search(
+                q_pad,
+                self._dev["corpus"],
+                self._dev["weights"],
+                self._dev["mask"],
+                k=k_pad,
+                tile_n=_tile_n(self._dev["corpus"].shape[0]),
+                method=method,
+            )
+        else:
+            vals, idx = flat_search_jax(
+                q_pad,
+                self._dev["corpus"],
+                self._dev["weights"],
+                self._dev["mask"],
+                k=k_pad,
+                method=method,
+            )
+        vals = np.asarray(vals)[:b, :k_eff]
+        idx = np.asarray(idx)[:b, :k_eff]
+        self._searches += b
+        weights = self.corpus.level_weights(self.config.level_weights)
+        out: List[List[SearchHit]] = []
+        for i in range(b):
+            hits = []
+            for val, j in zip(vals[i], idx[i]):
+                j = int(j)
+                w = float(weights[j]) or 1.0
+                hits.append(
+                    SearchHit(
+                        id=j,
+                        code=self.corpus.codes[j],
+                        preferred_zh=self.corpus.titles[j],
+                        score=float(val),
+                        original_score=float(val) / w,
+                        level=int(self.corpus.levels[j]),
+                        parent_code=self.corpus.parent_codes[j],
+                        category_path=self.corpus.category_paths[j],
+                        semantic_text=self.corpus.semantic_texts[j],
+                        main_code=self.corpus.main_codes[j],
+                        secondary_code=self.corpus.secondary_codes[j],
+                        has_complication=bool(self.corpus.has_complication[j]),
+                    )
+                )
+            out.append(hits)
+        return out
+
+    def semantic_similarities(
+        self, query_vectors: np.ndarray, candidate_ids: np.ndarray
+    ) -> np.ndarray:
+        """Cosine(query, semantic_text embedding) for candidate rows —
+        device-side gather + dot replacing the reference's 2-forwards-per-
+        candidate re-embedding (hierarchical_similarity_service.py:387-409).
+
+        query_vectors: (B, D); candidate_ids: (B, K) -> (B, K) fp32.
+        """
+        src = (
+            self._semantic_vectors
+            if self._semantic_vectors is not None
+            else self._vectors
+        )
+        if src is None:
+            return np.zeros(candidate_ids.shape, dtype=np.float32)
+        q = np.atleast_2d(np.asarray(query_vectors, np.float32))
+        cand = src[np.asarray(candidate_ids, np.int64)]  # (B, K, D)
+        return np.einsum("bd,bkd->bk", q, cand).astype(np.float32)
+
+    # ------------------------------------------------------------ stats
+
+    def get_collection_stats(self) -> Dict:
+        """Reference analog: milvus_service.py:457-496."""
+        return {
+            "collection_name": self.config.collection_name,
+            "num_entities": self.num_entities,
+            "dim": self.dim,
+            "index_type": self.config.index_type,
+            "metric_type": self.config.metric_type,
+            "loaded": self._loaded,
+            "searches_served": self._searches,
+            "memory": self.get_memory_usage(),
+        }
+
+    def get_memory_usage(self) -> Dict:
+        """Estimate = n·dim·4 bytes (formula parity: milvus_service.py:515)."""
+        vector_bytes = self.num_entities * self.dim * 4
+        return {
+            "num_entities": self.num_entities,
+            "dim": self.dim,
+            "estimated_vector_memory_bytes": vector_bytes,
+            "estimated_vector_memory_mb": round(vector_bytes / 1024 / 1024, 2),
+            "device_resident": self._loaded,
+        }
+
+    def health_check(self) -> Dict:
+        """Reference analog: milvus_service.py:524-549."""
+        status = "healthy"
+        checks = {
+            "has_data": self.num_entities > 0,
+            "device_loaded": self._loaded,
+            "device_reachable": True,
+        }
+        try:
+            jax.devices()
+        except Exception:
+            checks["device_reachable"] = False
+        if not all(checks.values()):
+            status = "degraded" if checks["has_data"] else "unhealthy"
+        return {"status": status, "checks": checks, "num_entities": self.num_entities}
+
+    def test_connection(self) -> bool:
+        try:
+            return len(jax.devices()) > 0
+        except Exception:
+            return False
+
+    # ------------------------------------------------------------- persist
+
+    def save(self, path: Optional[str] = None) -> str:
+        """Persist vectors (.npz) + metadata (.json) (replaces the Milvus
+        Lite DB file; SURVEY.md §5 checkpoint/resume)."""
+        base = Path(path or self.config.db_path)
+        base.parent.mkdir(parents=True, exist_ok=True)
+        arrays = {"vectors": self._vectors}
+        if self._semantic_vectors is not None:
+            arrays["semantic_vectors"] = self._semantic_vectors
+        np.savez(str(base) + ".npz", **arrays)
+        self.corpus.to_json(str(base) + ".meta.json")
+        manifest = {
+            "collection_name": self.config.collection_name,
+            "dim": self.dim,
+            "num_entities": self.num_entities,
+            "index_type": self.config.index_type,
+            "metric_type": self.config.metric_type,
+            "created_at": self._created_at,
+            "saved_at": time.time(),
+        }
+        Path(str(base) + ".manifest.json").write_text(json.dumps(manifest))
+        return str(base)
+
+    @classmethod
+    def load(cls, path: str, config: Optional[StoreConfig] = None) -> "VectorStore":
+        manifest = json.loads(Path(path + ".manifest.json").read_text())
+        store = cls(dim=manifest["dim"], config=config)
+        data = np.load(path + ".npz")
+        store._vectors = data["vectors"]
+        if "semantic_vectors" in data:
+            store._semantic_vectors = data["semantic_vectors"]
+        store.corpus = ICDCorpus.from_json(path + ".meta.json")
+        return store
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return Path(path + ".npz").exists() and Path(path + ".meta.json").exists()

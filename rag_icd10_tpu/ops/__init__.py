@@ -1,0 +1,15 @@
+from .flat_topk import (
+    weighted_scores_reference,
+    topk_reference,
+    flat_search_jax,
+    pad_corpus,
+)
+from .pallas_score import fused_weighted_scores
+
+__all__ = [
+    "weighted_scores_reference",
+    "topk_reference",
+    "flat_search_jax",
+    "pad_corpus",
+    "fused_weighted_scores",
+]

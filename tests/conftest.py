@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# Persistent compile cache: repeated suite runs skip XLA compiles (the box
+# typically has a single CPU core, so compiles dominate wall-clock).
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture(scope="session")

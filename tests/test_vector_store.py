@@ -1,0 +1,121 @@
+"""VectorStore tests: insert/search/lifecycle/persistence."""
+
+import numpy as np
+import pytest
+
+from rag_icd10_tpu.config import StoreConfig
+from rag_icd10_tpu.data.corpus import synthetic_corpus
+from rag_icd10_tpu.index import VectorStore
+
+
+def normed(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+@pytest.fixture()
+def store():
+    corpus = synthetic_corpus(200, seed=1)
+    rng = np.random.default_rng(1)
+    vecs = normed(rng.standard_normal((200, 64)).astype(np.float32))
+    s = VectorStore(dim=64, config=StoreConfig(pad_multiple=256))
+    s.insert_records(list(corpus.records()), vecs, semantic_vectors=vecs)
+    s._test_vecs = vecs
+    return s
+
+
+class TestInsertSearch:
+    def test_exact_self_retrieval(self, store):
+        """Querying with a corpus vector must return that record first
+        (weight distortion aside, weight>=0.8 keeps self on top for
+        near-orthogonal random others)."""
+        q = store._test_vecs[:4]
+        results = store.search(q, top_k=5)
+        assert len(results) == 4
+        for i, hits in enumerate(results):
+            assert hits[0].id == i
+            assert hits[0].code == store.corpus.codes[i]
+
+    def test_level_weighted_scores(self, store):
+        q = store._test_vecs[:2]
+        for hits in store.search(q, top_k=5):
+            for h in hits:
+                w = {1: 1.2, 2: 1.0, 3: 0.8}[h.level]
+                assert h.score == pytest.approx(h.original_score * w, rel=1e-4)
+
+    def test_sorted_desc(self, store):
+        hits = store.search(store._test_vecs[:1], top_k=10)[0]
+        scores = [h.score for h in hits]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_topk_not_bucket_size(self, store):
+        hits = store.search(store._test_vecs[:1], top_k=7)[0]
+        assert len(hits) == 7
+
+    def test_single_vector_1d(self, store):
+        hits = store.search(store._test_vecs[0], top_k=3)
+        assert len(hits) == 1 and len(hits[0]) == 3
+
+    def test_incremental_insert(self, store):
+        extra = synthetic_corpus(56, seed=9)
+        rng = np.random.default_rng(9)
+        vecs = normed(rng.standard_normal((56, 64)).astype(np.float32))
+        store.insert_records(list(extra.records()), vecs)
+        assert store.num_entities == 256
+        # store must re-load and still search fine
+        hits = store.search(vecs[:1], top_k=3)[0]
+        assert hits[0].id == 200
+
+
+class TestLifecycle:
+    def test_load_release(self, store):
+        assert not store.is_loaded
+        assert store.load_collection()
+        assert store.is_loaded
+        assert store.release_collection()
+        assert not store.is_loaded
+        # search auto-reloads
+        hits = store.search(store._test_vecs[:1], top_k=3)
+        assert len(hits[0]) == 3 and store.is_loaded
+
+    def test_clear(self, store):
+        store.clear_collection()
+        assert store.num_entities == 0
+        assert store.search(np.zeros((1, 64), np.float32), top_k=3) == [[]]
+
+    def test_stats_and_memory(self, store):
+        stats = store.get_collection_stats()
+        assert stats["num_entities"] == 200
+        # formula parity: n*dim*4
+        assert stats["memory"]["estimated_vector_memory_bytes"] == 200 * 64 * 4
+
+    def test_health(self, store):
+        h = store.health_check()
+        assert h["status"] in ("healthy", "degraded")
+        assert h["checks"]["has_data"]
+        assert store.test_connection()
+
+
+class TestSemanticSimilarities:
+    def test_self_similarity_one(self, store):
+        q = store._test_vecs[:2]
+        ids = np.array([[0, 1], [1, 0]])
+        sims = store.semantic_similarities(q, ids)
+        assert sims.shape == (2, 2)
+        assert sims[0, 0] == pytest.approx(1.0, abs=1e-5)
+        assert sims[1, 0] == pytest.approx(1.0, abs=1e-5)
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, store, tmp_path):
+        base = str(tmp_path / "store")
+        store.save(base)
+        assert VectorStore.exists(base)
+        back = VectorStore.load(base, config=StoreConfig(pad_multiple=256))
+        assert back.num_entities == store.num_entities
+        a = store.search(store._test_vecs[:2], top_k=5)
+        b = back.search(store._test_vecs[:2], top_k=5)
+        for ha, hb in zip(a, b):
+            assert [h.code for h in ha] == [h.code for h in hb]
+            np.testing.assert_allclose(
+                [h.score for h in ha], [h.score for h in hb], rtol=1e-6
+            )
