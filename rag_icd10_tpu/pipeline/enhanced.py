@@ -1,0 +1,332 @@
+"""Enhanced diagnosis extraction — fuses NER entities with boundary spans.
+
+Behavioral spec (reference: services/enhanced_text_processor.py):
+- config (:31-37): min len 2, max len 50, min entity conf 0.6,
+  use_semantic_boundary, fallback to simple split
+- pipeline (:39-88): NER -> boundary detection (or simple split fallback)
+  -> fuse -> filter/rank
+- simple split fallback (:90-146): separators ；; then ，,
+  (excluding commas inside full-width parens) then +＋; then medical-keyword
+  split (既往 病史 术后 治疗 保守 规律 控制)
+- sub-split (:206-260): boundary spans holding >1 disease entity split at
+  disease-entity starts (with up to 10 chars of leading context)
+- per-diagnosis confidence (:280-318): 0.3 + boundary_conf*0.3 +
+  weighted-entity-avg*0.4 (disease x1.2, symptom x0.8, other x0.6) +
+  length bonus (4<=len<=20: +0.1, len<2: -0.2) + density bonus (+0.1 when
+  entities/char > 0.1), cap 1.0
+- filter >=0.4 conf, char-Jaccard dedup at >0.8 keeping higher conf,
+  sort desc (:320-365, :370-379)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+from .boundary import SemanticBoundaryDetector
+from .ner import MedicalNERService
+
+SIMPLE_SEPARATORS = (r"[；;]", r"[，,](?![^（]*）)", r"[+＋]")
+MEDICAL_SPLIT_KEYWORDS = ("既往", "病史", "术后", "治疗", "保守", "规律", "控制")
+
+
+def char_jaccard(text1: str, text2: str) -> float:
+    if not text1 or not text2:
+        return 0.0
+    s1, s2 = set(text1), set(text2)
+    union = len(s1 | s2)
+    return len(s1 & s2) / union if union else 0.0
+
+
+class EnhancedTextProcessor:
+    """NER + boundary fusion -> ranked diagnosis spans with confidence."""
+
+    def __init__(
+        self,
+        encoder=None,
+        ner_service: Optional[MedicalNERService] = None,
+        use_model_ner: Optional[bool] = None,
+    ):
+        if ner_service is not None:
+            self.ner_service = ner_service
+        else:
+            from ..config import NERConfig
+            import dataclasses
+
+            cfg = NERConfig()
+            if use_model_ner is not None:
+                cfg = dataclasses.replace(cfg, use_model=use_model_ner)
+            self.ner_service = MedicalNERService(cfg)
+        self.encoder = encoder
+        self.boundary_detector = SemanticBoundaryDetector(encoder)
+        self.config = {
+            "min_diagnosis_length": 2,
+            "max_diagnosis_length": 50,
+            "min_entity_confidence": 0.6,
+            "use_semantic_boundary": True,
+            "fallback_to_simple_split": True,
+        }
+
+    # ------------------------------------------------------------- public
+
+    def extract_diagnoses_enhanced(
+        self, text: str, filter_drugs: bool = True
+    ) -> List[Dict[str, Any]]:
+        if not text or not text.strip():
+            return []
+        try:
+            entities = self.ner_service.extract_medical_entities(
+                text, filter_drugs=filter_drugs
+            )
+            if self.config["use_semantic_boundary"] and self.encoder is not None:
+                boundaries = self.boundary_detector.detect_diagnosis_boundaries(text)
+                confs = self.boundary_detector.get_boundary_confidence(boundaries)
+            else:
+                boundaries = self._simple_boundary_detection(text)
+                confs = [0.5] * len(boundaries)
+            fused = self._fuse(text, entities, boundaries, confs)
+            return self._filter_and_rank(fused)
+        except Exception:
+            return self._fallback_extraction(text)
+
+    def extract_diagnoses_simple(self, text: str) -> List[str]:
+        return [r["text"] for r in self.extract_diagnoses_enhanced(text)]
+
+    def get_processing_summary(self, text: str) -> Dict[str, Any]:
+        results = self.extract_diagnoses_enhanced(text)
+        entity_types: set = set()
+        high = 0
+        for r in results:
+            entity_types.update(r["primary_entity_types"])
+            if r["diagnosis_confidence"] > 0.7:
+                high += 1
+        return {
+            "original_text": text,
+            "total_diagnoses": len(results),
+            "avg_confidence": (
+                sum(r["diagnosis_confidence"] for r in results) / len(results)
+                if results
+                else 0
+            ),
+            "entity_types_found": list(entity_types),
+            "high_confidence_count": high,
+            "processing_method": (
+                "enhanced"
+                if self.config["use_semantic_boundary"] and self.encoder is not None
+                else "simple"
+            ),
+            "ner_info": self.ner_service.get_model_info(),
+        }
+
+    # --------------------------------------------------------- simple split
+
+    def _simple_boundary_detection(self, text: str) -> List[Tuple[int, int, str]]:
+        min_len = self.config["min_diagnosis_length"]
+        for sep in SIMPLE_SEPARATORS:
+            parts = re.split(sep, text)
+            if len(parts) > 1:
+                boundaries = []
+                pos = 0
+                for part in parts:
+                    part = part.strip()
+                    if part and len(part) >= min_len:
+                        start = text.find(part, pos)
+                        if start != -1:
+                            boundaries.append((start, start + len(part), part))
+                            pos = start + len(part)
+                if len(boundaries) > 1:
+                    return boundaries
+        for keyword in MEDICAL_SPLIT_KEYWORDS:
+            if keyword in text:
+                parts = text.split(keyword)
+                if len(parts) > 1:
+                    boundaries = []
+                    pos = 0
+                    for i, part in enumerate(parts):
+                        segment = part.strip() if i == 0 else (keyword + part).strip()
+                        if segment and len(segment) >= min_len:
+                            start = text.find(segment, pos)
+                            if start != -1:
+                                boundaries.append(
+                                    (start, start + len(segment), segment)
+                                )
+                                pos = start + len(segment)
+                    if len(boundaries) > 1:
+                        return boundaries
+        return [(0, len(text), text.strip())]
+
+    # --------------------------------------------------------------- fusion
+
+    def _fuse(
+        self,
+        text: str,
+        entities: Dict[str, List[Dict]],
+        boundaries: List[Tuple[int, int, str]],
+        confs: List[float],
+    ) -> List[Dict[str, Any]]:
+        out: List[Dict[str, Any]] = []
+        for i, (start, end, btext) in enumerate(boundaries):
+            bconf = confs[i] if i < len(confs) else 0.5
+            for sub in self._sub_diagnoses(btext, entities, start, end):
+                info: Dict[str, Any] = {
+                    "text": sub["text"].strip(),
+                    "start_pos": sub["start"],
+                    "end_pos": sub["end"],
+                    "boundary_confidence": bconf,
+                    "entities": sub["entities"],
+                    "entity_density": 0.0,
+                    "primary_entity_types": [],
+                    "diagnosis_confidence": 0.0,
+                    "metadata": {
+                        "length": len(sub["text"].strip()),
+                        "has_disease_entity": False,
+                        "has_symptom_entity": False,
+                        "entity_count": 0,
+                    },
+                }
+                total = sum(len(v) for v in sub["entities"].values())
+                if total > 0 and sub["text"]:
+                    info["entity_density"] = total / len(sub["text"])
+                    info["metadata"]["entity_count"] = total
+                    for etype, elist in sub["entities"].items():
+                        if elist:
+                            info["primary_entity_types"].append(etype)
+                            if etype == "disease":
+                                info["metadata"]["has_disease_entity"] = True
+                            elif etype == "symptom":
+                                info["metadata"]["has_symptom_entity"] = True
+                info["diagnosis_confidence"] = self._diagnosis_confidence(info)
+                out.append(info)
+        return out
+
+    def _sub_diagnoses(
+        self,
+        boundary_text: str,
+        entities: Dict[str, List[Dict]],
+        b_start: int,
+        b_end: int,
+    ) -> List[Dict]:
+        diseases = [
+            e
+            for e in entities.get("disease", [])
+            if b_start <= e.get("start", 0) < b_end
+        ]
+        whole = [
+            {
+                "text": boundary_text,
+                "start": b_start,
+                "end": b_end,
+                "entities": self._entities_in(entities, b_start, b_end),
+            }
+        ]
+        if len(diseases) <= 1:
+            return whole
+        subs: List[Dict] = []
+        diseases.sort(key=lambda e: e.get("start", 0))
+        prev_end = b_start
+        for i, ent in enumerate(diseases):
+            e_start = ent.get("start", b_start)
+            e_end = ent.get("end", e_start + len(ent.get("text", "")))
+            seg_end = (
+                min(diseases[i + 1].get("start", b_end), b_end)
+                if i < len(diseases) - 1
+                else b_end
+            )
+            seg_start = max(prev_end, e_start - 10)
+            seg_text = boundary_text[seg_start - b_start : seg_end - b_start].strip()
+            if seg_text and len(seg_text) >= 2:
+                subs.append(
+                    {
+                        "text": seg_text,
+                        "start": seg_start,
+                        "end": seg_end,
+                        "entities": self._entities_in(entities, seg_start, seg_end),
+                    }
+                )
+            prev_end = e_end
+        return subs or whole
+
+    @staticmethod
+    def _entities_in(
+        entities: Dict[str, List[Dict]], start: int, end: int
+    ) -> Dict[str, List[Dict]]:
+        out: Dict[str, List[Dict]] = {}
+        for etype, elist in entities.items():
+            out[etype] = [
+                e
+                for e in elist
+                if (e.get("start", 0) >= start and e.get("end", 0) <= end)
+                or (e.get("start", 0) < end and e.get("end", 0) > start)
+            ]
+        return out
+
+    # ----------------------------------------------------------- confidence
+
+    @staticmethod
+    def _diagnosis_confidence(info: Dict[str, Any]) -> float:
+        conf = 0.3 + info["boundary_confidence"] * 0.3
+        scores = []
+        for etype, elist in info["entities"].items():
+            for e in elist:
+                c = e.get("confidence", 0.5)
+                if etype == "disease":
+                    scores.append(c * 1.2)
+                elif etype == "symptom":
+                    scores.append(c * 0.8)
+                else:
+                    scores.append(c * 0.6)
+        if scores:
+            conf += (sum(scores) / len(scores)) * 0.4
+        n = len(info["text"])
+        if 4 <= n <= 20:
+            conf += 0.1
+        elif n < 2:
+            conf -= 0.2
+        if info["entity_density"] > 0.1:
+            conf += 0.1
+        return min(conf, 1.0)
+
+    # ------------------------------------------------------------ filtering
+
+    def _filter_and_rank(self, diagnoses: List[Dict[str, Any]]) -> List[Dict[str, Any]]:
+        lo, hi = (
+            self.config["min_diagnosis_length"],
+            self.config["max_diagnosis_length"],
+        )
+        filtered = [d for d in diagnoses if lo <= len(d["text"]) <= hi]
+        filtered = [d for d in filtered if d["diagnosis_confidence"] >= 0.4]
+        deduped: List[Dict[str, Any]] = []
+        for d in filtered:
+            dup = False
+            for existing in list(deduped):
+                if char_jaccard(d["text"], existing["text"]) > 0.8:
+                    if d["diagnosis_confidence"] > existing["diagnosis_confidence"]:
+                        deduped.remove(existing)
+                        deduped.append(d)
+                    dup = True
+                    break
+            if not dup:
+                deduped.append(d)
+        return sorted(deduped, key=lambda x: x["diagnosis_confidence"], reverse=True)
+
+    def _fallback_extraction(self, text: str) -> List[Dict[str, Any]]:
+        return [
+            {
+                "text": btext.strip(),
+                "start_pos": start,
+                "end_pos": end,
+                "boundary_confidence": 0.5,
+                "entities": {},
+                "entity_density": 0.0,
+                "primary_entity_types": [],
+                "diagnosis_confidence": 0.5,
+                "metadata": {
+                    "length": len(btext.strip()),
+                    "has_disease_entity": False,
+                    "has_symptom_entity": False,
+                    "entity_count": 0,
+                    "is_fallback": True,
+                },
+            }
+            for start, end, btext in self._simple_boundary_detection(text)
+        ]

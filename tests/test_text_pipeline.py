@@ -1,0 +1,293 @@
+"""Text-pipeline tests: uncertainty, splitting, NER, entity filter,
+boundaries, enhanced extraction.
+
+Test cases mirror the reference's module-level smoke tests
+(uncertainty_diagnosis_service.py:270-299, tools/text_processor.py:202-243,
+medical_ner_service.py:471-514, diagnosis_entity_filter.py:349-407).
+"""
+
+import numpy as np
+import pytest
+
+from rag_icd10_tpu.config import FilterConfig, NERConfig
+from rag_icd10_tpu.pipeline.boundary import SemanticBoundaryDetector
+from rag_icd10_tpu.pipeline.enhanced import EnhancedTextProcessor, char_jaccard
+from rag_icd10_tpu.pipeline.entity_filter import DiagnosisEntityFilter
+from rag_icd10_tpu.pipeline.ner import MedicalNERService
+from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor, split_simple
+from rag_icd10_tpu.pipeline.uncertainty import (
+    detect_uncertainty,
+    process_uncertainty_query,
+    unspecified_boost,
+)
+
+
+def rule_ner():
+    return MedicalNERService(NERConfig(use_model=False))
+
+
+class TestUncertainty:
+    @pytest.mark.parametrize(
+        "text,expected_weight",
+        [
+            ("胃炎待查", 1.0),
+            ("疑似肺炎", 0.9),
+            ("不除外心梗", 0.8),
+            ("急性胃肠炎", 0.0),
+            ("考虑为肺部感染？", 1.0),  # ？(1.0) outranks 考虑(0.9)
+        ],
+    )
+    def test_detect_weight(self, text, expected_weight):
+        info = detect_uncertainty(text)
+        assert info.uncertainty_weight == pytest.approx(expected_weight)
+        assert info.has_uncertainty == (expected_weight > 0)
+
+    def test_clean_text_strips_markers(self):
+        info = detect_uncertainty("疑似急性胃肠炎待查")
+        assert "疑似" not in info.clean_text and "待查" not in info.clean_text
+        assert "急性胃肠炎" in info.clean_text
+
+    @pytest.mark.parametrize(
+        "title,code,query,expected",
+        [
+            ("未特指的胃炎", "K29.7", "胃炎", 0.30),
+            ("胃炎，未特指", "K29.7", "胃炎", 0.30),
+            ("某种未特指病", "K29.7", "胃炎", 0.25),
+            ("其他胃炎", "K29.6", "胃炎", 0.20),
+            ("急性胃炎", "K29.9", "胃炎", 0.15),  # .9 code
+            ("急性胃炎", "K29.1", "胃炎", 0.0),
+        ],
+    )
+    def test_unspecified_boost_priority(self, title, code, query, expected):
+        assert unspecified_boost(title, code, query) == pytest.approx(expected)
+
+    def test_process_applies_weighted_boost_and_resorts(self):
+        candidates = [
+            {"code": "K29.1", "preferred_zh": "急性胃炎", "score": 0.80},
+            {"code": "K29.7", "preferred_zh": "未特指的胃炎", "score": 0.75},
+        ]
+        clean, out = process_uncertainty_query("胃炎待查", candidates)
+        assert clean == "胃炎"
+        # boosted: 0.75 + 0.30*1.0 = 1.05 > 0.80 -> re-sorted first
+        assert out[0]["code"] == "K29.7"
+        assert out[0]["score"] == pytest.approx(1.05)
+        assert out[0]["original_score"] == pytest.approx(0.75)
+
+    def test_no_uncertainty_passthrough(self):
+        cands = [{"code": "A", "preferred_zh": "未特指的胃炎", "score": 0.5}]
+        clean, out = process_uncertainty_query("急性胃肠炎", cands)
+        assert clean == "急性胃肠炎"
+        assert out[0]["score"] == 0.5
+
+
+class TestSimpleSplit:
+    @pytest.mark.parametrize(
+        "text,expected",
+        [
+            ("急性胃肠炎，高血压病3级", ["急性胃肠炎", "高血压病3级"]),
+            ("肺炎；心衰", ["肺炎", "心衰"]),
+            ("糖尿病+高血压", ["糖尿病", "高血压"]),
+            ("患者急性胃肠炎", ["急性胃肠炎"]),
+            ("诊断为肺炎", ["肺炎"]),
+            ("胃炎待查", ["胃炎待查"]),  # uncertainty markers preserved
+            ("肺炎 肺炎 肺炎", ["肺炎"]),  # dedup
+            ("", []),
+            ("炎", []),  # < 2 chars dropped
+        ],
+    )
+    def test_split(self, text, expected):
+        assert split_simple(text) == expected
+
+    def test_facade_simple_mode(self):
+        proc = DiagnosisTextProcessor(use_enhanced_processing=False)
+        assert proc.get_processing_mode() == "simple"
+        assert proc.extract_diagnoses("肺炎，心衰") == ["肺炎", "心衰"]
+        assert proc.is_multi_diagnosis("肺炎，心衰")
+        enhanced = proc.extract_diagnoses_enhanced("肺炎，心衰")
+        assert [d["diagnosis_text"] for d in enhanced] == ["肺炎", "心衰"]
+
+
+class TestRuleNER:
+    def test_disease_extraction(self):
+        ents = rule_ner().extract_medical_entities("急性胃肠炎，高血压病")
+        diseases = [e["text"] for e in ents.get("disease", [])]
+        assert any("胃肠炎" in d for d in diseases)
+        assert any("高血压病" in d for d in diseases)
+
+    def test_symptom_extraction(self):
+        ents = rule_ner().extract_medical_entities("持续腹痛伴呕吐")
+        texts = [e["text"] for v in ents.values() for e in v]
+        assert any("痛" in t for t in texts)
+
+    def test_stop_words_not_entities(self):
+        ents = rule_ner().extract_medical_entities("待查，考虑")
+        assert sum(len(v) for v in ents.values()) == 0
+
+    def test_confidence_heuristic(self):
+        ents = rule_ner().extract_medical_entities("急性阑尾炎")
+        d = ents["disease"][0]
+        # base .5 + len>=4 .1 + disease suffix .2 + 急性 prefix .1 = 0.9
+        assert d["confidence"] == pytest.approx(0.9)
+
+    def test_overlap_dedup_keeps_higher_confidence(self):
+        ents = rule_ner().extract_medical_entities("慢性阻塞性肺疾病")
+        diseases = ents.get("disease", [])
+        # overlapping spans deduplicated
+        spans = [(e["start"], e["end"]) for e in diseases]
+        for i, a in enumerate(spans):
+            for b in spans[i + 1:]:
+                assert a[1] <= b[0] or b[1] <= a[0]
+
+    def test_keywords_prefer_disease(self):
+        kws = rule_ner().identify_diagnosis_keywords("急性胃肠炎伴腹痛")
+        assert any("胃肠炎" in k for k in kws)
+
+    def test_entity_summary_contract(self):
+        summary = rule_ner().get_entity_summary("急性胃肠炎")
+        assert set(summary) >= {
+            "total_entities",
+            "entity_types",
+            "high_confidence_entities",
+            "primary_diagnosis_candidates",
+            "extraction_method",
+            "model_info",
+        }
+        assert summary["extraction_method"] == "rules"
+
+
+class TestEntityFilter:
+    def make(self, **kw):
+        return DiagnosisEntityFilter(FilterConfig(**kw))
+
+    def test_strict_keeps_only_diagnosis_types(self):
+        f = self.make(strict_mode=True)
+        ents = {
+            "disease": [{"text": "胃炎", "confidence": 0.9}],
+            "drug": [{"text": "阿司匹林", "confidence": 0.9}],
+            "department": [{"text": "内科", "confidence": 0.9}],
+        }
+        out = f.filter_entities(ents, "")
+        assert "disease" in out and "drug" not in out and "department" not in out
+
+    def test_strict_confidence_threshold(self):
+        f = self.make(strict_mode=True, confidence_threshold=0.6)
+        ents = {"disease": [{"text": "胃炎", "confidence": 0.5}]}
+        assert f.filter_entities(ents, "") == {}
+
+    def test_smart_drops_drug_names(self):
+        f = self.make()
+        text = "服用阿莫西林胶囊"
+        ents = {
+            "drug": [{"text": "阿莫西林胶囊", "confidence": 0.9, "start": 2, "end": 8}]
+        }
+        assert f.filter_entities(ents, text) == {}
+
+    def test_smart_keeps_drug_related_disease_with_context(self):
+        f = self.make()
+        text = "青霉素过敏性休克"
+        ents = {"drug": [{"text": "青霉素过敏", "confidence": 0.9, "start": 0, "end": 5}]}
+        out = f.filter_entities(ents, text)
+        assert "drug_related_disease" in out
+
+    def test_smart_department_always_dropped(self):
+        f = self.make()
+        out = f.filter_entities(
+            {"department": [{"text": "心内科", "confidence": 0.99}]}, ""
+        )
+        assert out == {}
+
+    def test_lab_indicator_relaxed_threshold(self):
+        f = self.make(confidence_threshold=0.6)
+        ents = {"lab_indicator": [{"text": "血糖升高", "confidence": 0.55}]}
+        out = f.filter_entities(ents, "")
+        assert "lab_indicator" in out  # 0.55 >= min(0.5, 0.6)
+
+    def test_treatment_kept_with_disease_suffix(self):
+        f = self.make()
+        ents = {"treatment": [{"text": "心衰竭", "confidence": 0.9, "start": 0, "end": 3}]}
+        out = f.filter_entities(ents, "心衰竭")
+        assert "treatment_related_disease" in out
+
+    def test_pure_treatment_dropped(self):
+        f = self.make(enable_context_analysis=False)
+        ents = {"treatment": [{"text": "阑尾切除术", "confidence": 0.9, "start": 0, "end": 5}]}
+        assert f.filter_entities(ents, "阑尾切除术") == {}
+
+    def test_filter_stats(self):
+        f = self.make()
+        orig = {"disease": [{"text": "胃炎", "confidence": 0.9}],
+                "department": [{"text": "内科", "confidence": 0.9}]}
+        filt = f.filter_entities(orig, "")
+        stats = f.get_filter_stats(orig, filt)
+        assert stats["original_count"] == 2 and stats["filtered_count"] == 1
+
+
+class TestBoundary:
+    def test_semicolon_beats_comma(self):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("肺炎，咳嗽；心衰，水肿")
+        assert [t for _, _, t in b] == ["肺炎，咳嗽", "心衰，水肿"]
+
+    def test_comma_split(self):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("急性胃肠炎，高血压病")
+        assert [t for _, _, t in b] == ["急性胃肠炎", "高血压病"]
+
+    def test_connection_pattern_merges(self):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("冠心病，伴有合并心衰")
+        assert len(b) == 1
+        assert "冠心病" in b[0][2] and "心衰" in b[0][2]
+
+    def test_single_text_one_boundary(self):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("急性胃肠炎")
+        assert b == [(0, 5, "急性胃肠炎")]
+
+    def test_confidence_components(self):
+        det = SemanticBoundaryDetector()
+        confs = det.get_boundary_confidence([(0, 8, "急性胃肠炎综合征")])
+        # 0.5 + len>=4 + len>=8 + disease-term + independence = 1.0
+        assert confs[0] == pytest.approx(1.0)
+
+    def test_analyze_structure(self):
+        det = SemanticBoundaryDetector()
+        a = det.analyze_text_structure("肺炎；心衰")
+        assert a["is_multi_diagnosis"] and a["total_boundaries"] == 2
+
+
+class TestEnhancedProcessor:
+    @pytest.fixture()
+    def proc(self):
+        return EnhancedTextProcessor(encoder=None, ner_service=rule_ner())
+
+    def test_multi_diagnosis_extraction(self, proc):
+        results = proc.extract_diagnoses_enhanced("急性胃肠炎，高血压病3级，2型糖尿病")
+        texts = [r["text"] for r in results]
+        assert len(results) >= 3
+        assert any("胃肠炎" in t for t in texts)
+        assert any("高血压" in t for t in texts)
+        assert any("糖尿病" in t for t in texts)
+        for r in results:
+            assert 0.4 <= r["diagnosis_confidence"] <= 1.0
+
+    def test_simple_interface(self, proc):
+        texts = proc.extract_diagnoses_simple("肺炎；心功能不全")
+        assert len(texts) == 2
+
+    def test_jaccard_dedup(self):
+        assert char_jaccard("急性胃肠炎", "急性胃肠炎") == 1.0
+        assert char_jaccard("abc", "xyz") == 0.0
+
+    def test_processing_summary(self, proc):
+        s = proc.get_processing_summary("急性胃肠炎，高血压病")
+        assert s["total_diagnoses"] >= 2
+        assert s["processing_method"] == "simple"  # no encoder
+
+    def test_facade_enhanced_mode(self):
+        proc = DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=rule_ner()
+        )
+        assert proc.get_processing_mode() == "enhanced"
+        out = proc.extract_diagnoses("急性胃肠炎，高血压病")
+        assert len(out) >= 2
