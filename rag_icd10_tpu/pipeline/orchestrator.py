@@ -1,0 +1,424 @@
+"""Multi-diagnosis orchestrator — the per-request pipeline.
+
+Behavioral spec (reference: services/multi_diagnosis_service.py):
+- match_multiple_diagnoses (:51-125): extract diagnoses -> per-diagnosis
+  enhanced match -> result dict {original_text, extracted_diagnoses,
+  matches, total_matches, processing_mode, extraction_metadata}
+- enhanced single match (:127-217): NER entities -> encode -> search with
+  top_k*2 over-fetch (:153) -> hierarchical batch rescore -> take top_k ->
+  12-dim confidence; falls back to plain match on exception
+- plain match (:219-273) + heuristic confidence (:275-304):
+  max>0.9 -> min(max, 0.95); >=2 scores>0.7 -> max*0.8; else max*0.6,
+  rounded to 3dp
+- get_diagnosis_suggestions (:387), get_detailed_confidence_report (:423)
+  with quality labels 优秀/良好/一般/待改进 (:512-521)
+
+TPU-first difference — the hot loop is BATCHED (SURVEY.md §3.2):
+the reference runs `for diagnosis: encode -> search -> rescore`
+sequentially in Python (:98-103); here ALL extracted diagnoses are encoded
+in ONE device call and searched in ONE fused Pallas scan, so a request
+with N sub-diagnoses costs the same device time as one. Only the
+string-feature rescoring runs per-diagnosis on the small top-k slice.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .confidence import (
+    ConfidenceFactors,
+    ConfidenceMetrics,
+    MultiDimensionalConfidenceService,
+)
+from .hierarchy import HierarchicalSimilarityService, SimilarityFactors
+from .ner import MedicalNERService
+from .textproc import DiagnosisTextProcessor
+
+
+@dataclass
+class Candidate:
+    """Result row (contract: models/icd_models.py:56-87 in the reference)."""
+
+    code: str
+    title: str
+    score: float
+    level: int = 1
+    parent_code: str = ""
+    enhanced_score: Optional[float] = None
+    original_score: Optional[float] = None
+    similarity_factors: Optional[SimilarityFactors] = None
+
+    def to_dict(self) -> Dict[str, Any]:
+        out = {
+            "code": self.code,
+            "title": self.title,
+            "score": float(self.score),
+            "level": self.level,
+            "parent_code": self.parent_code,
+            "enhanced_score": (
+                float(self.enhanced_score) if self.enhanced_score is not None else None
+            ),
+            "original_score": (
+                float(self.original_score) if self.original_score is not None else None
+            ),
+            "similarity_factors": (
+                self.similarity_factors.to_dict() if self.similarity_factors else None
+            ),
+        }
+        return out
+
+
+@dataclass
+class DiagnosisMatch:
+    """Per-diagnosis result (contract: models/icd_models.py:90-124)."""
+
+    diagnosis_text: str
+    candidates: List[Candidate]
+    match_confidence: float
+    confidence_metrics: Optional[ConfidenceMetrics] = None
+    confidence_factors: Optional[ConfidenceFactors] = None
+    confidence_level: str = ""
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "diagnosis_text": self.diagnosis_text,
+            "candidates": [c.to_dict() for c in self.candidates],
+            "match_confidence": float(self.match_confidence),
+            "confidence_metrics": (
+                self.confidence_metrics.to_dict() if self.confidence_metrics else None
+            ),
+            "confidence_factors": (
+                self.confidence_factors.to_dict() if self.confidence_factors else None
+            ),
+            "confidence_level": self.confidence_level,
+        }
+
+
+class MultiDiagnosisService:
+    """Batched multi-diagnosis matching over encoder + vector store."""
+
+    def __init__(
+        self,
+        encoder,
+        store,
+        ner_service: Optional[MedicalNERService] = None,
+        text_processor: Optional[DiagnosisTextProcessor] = None,
+        hierarchical: Optional[HierarchicalSimilarityService] = None,
+        confidence: Optional[MultiDimensionalConfidenceService] = None,
+        overfetch: int = 2,
+    ):
+        self.encoder = encoder
+        self.store = store
+        self.ner_service = ner_service or MedicalNERService()
+        self.text_processor = text_processor or DiagnosisTextProcessor(
+            encoder=encoder, ner_service=self.ner_service
+        )
+        self.hierarchical = hierarchical or HierarchicalSimilarityService(
+            encoder=encoder, store=store, ner_service=self.ner_service
+        )
+        self.confidence_service = confidence or MultiDimensionalConfidenceService(
+            encoder=encoder, ner_service=self.ner_service, store=store
+        )
+        self.overfetch = overfetch
+
+    # ------------------------------------------------------------- public
+
+    def match_multiple_diagnoses(self, text: str, top_k: int = 5) -> Dict[str, Any]:
+        enhanced_diagnoses = self.text_processor.extract_diagnoses_enhanced(text)
+        diagnoses = [
+            d.get("diagnosis_text", d.get("text", "")) for d in enhanced_diagnoses
+        ]
+        diagnoses = [d for d in diagnoses if d]
+        if not diagnoses:
+            return {
+                "original_text": text,
+                "extracted_diagnoses": [],
+                "matches": [],
+                "total_matches": 0,
+                "processing_mode": self.text_processor.get_processing_mode(),
+                "extraction_metadata": {
+                    "enhanced_results_count": len(enhanced_diagnoses),
+                    "avg_extraction_confidence": 0.0,
+                },
+            }
+        confidences = [
+            d.get("diagnosis_confidence", 0.5) for d in enhanced_diagnoses
+        ] or [0.0]
+        avg_extraction_confidence = sum(confidences) / len(confidences)
+
+        # === the batched hot path: ONE encode, ONE fused search ===
+        query_vecs = np.asarray(self.encoder.encode_queries(diagnoses))
+        all_hits = self.store.search(query_vecs, top_k * self.overfetch)
+
+        matches: List[DiagnosisMatch] = []
+        total_candidates = 0
+        for i, diagnosis in enumerate(diagnoses):
+            match = self._rescore_single(
+                diagnosis, query_vecs[i], all_hits[i], top_k
+            )
+            matches.append(match)
+            total_candidates += len(match.candidates)
+
+        return {
+            "original_text": text,
+            "extracted_diagnoses": diagnoses,
+            "matches": matches,
+            "total_matches": total_candidates,
+            "processing_mode": self.text_processor.get_processing_mode(),
+            "extraction_metadata": {
+                "enhanced_results_count": len(enhanced_diagnoses),
+                "avg_extraction_confidence": avg_extraction_confidence,
+                "extraction_method": "enhanced" if enhanced_diagnoses else "simple",
+                "drug_filtering_enabled": True,
+            },
+        }
+
+    # --------------------------------------------------------- single path
+
+    def _rescore_single(
+        self,
+        diagnosis: str,
+        query_vec: np.ndarray,
+        hits: List,
+        top_k: int,
+    ) -> DiagnosisMatch:
+        """Enhanced rescoring of one diagnosis's over-fetched hits
+        (reference :127-217, minus the per-diagnosis encode+search which is
+        already batched by the caller)."""
+        try:
+            query_entities = self.ner_service.extract_medical_entities(
+                diagnosis, filter_drugs=True
+            )
+            records = []
+            for h in hits:
+                rec = h.to_dict() if hasattr(h, "to_dict") else dict(h)
+                rec.setdefault("title", rec.get("preferred_zh", ""))
+                records.append(rec)
+            enhanced = self.hierarchical.batch_calculate_similarities(
+                diagnosis, query_entities, records, query_vec=query_vec
+            )
+            candidates: List[Candidate] = []
+            for rec, score, factors in enhanced[:top_k]:
+                candidates.append(
+                    Candidate(
+                        code=rec.get("code", ""),
+                        title=rec.get("preferred_zh", rec.get("title", "")),
+                        score=float(score),
+                        level=rec.get("level", 1),
+                        parent_code=rec.get("parent_code", ""),
+                        enhanced_score=float(score),
+                        original_score=float(rec.get("original_score", 0.0)),
+                        similarity_factors=factors,
+                    )
+                )
+            candidate_records = [
+                {
+                    "id": rec.get("id"),
+                    "code": c.code,
+                    "title": c.title,
+                    "preferred_zh": c.title,
+                    "score": c.enhanced_score,
+                    "level": c.level,
+                }
+                for c, (rec, _, _) in zip(candidates, enhanced[: len(candidates)])
+            ]
+            sf = None
+            if enhanced:
+                f0 = enhanced[0][2]
+                sf = {
+                    "vector_similarity": f0.vector_similarity,
+                    "hierarchy_boost": f0.hierarchy_boost,
+                    "entity_match_score": f0.entity_match_score,
+                }
+            metrics, factors = self.confidence_service.calculate_comprehensive_confidence(
+                diagnosis, candidate_records, similarity_factors=sf, query_vec=query_vec
+            )
+            match_confidence = float(metrics.overall_confidence)
+            return DiagnosisMatch(
+                diagnosis_text=diagnosis,
+                candidates=candidates,
+                match_confidence=match_confidence,
+                confidence_metrics=metrics,
+                confidence_factors=factors,
+                confidence_level=self.confidence_service.get_confidence_level(
+                    match_confidence
+                ),
+            )
+        except Exception:
+            return self._match_plain(diagnosis, query_vec, hits, top_k)
+
+    def _match_plain(
+        self, diagnosis: str, query_vec: np.ndarray, hits: List, top_k: int
+    ) -> DiagnosisMatch:
+        """Plain fallback match (reference :219-273)."""
+        try:
+            candidates = []
+            for h in hits[:top_k]:
+                rec = h.to_dict() if hasattr(h, "to_dict") else dict(h)
+                candidates.append(
+                    Candidate(
+                        code=rec.get("code", ""),
+                        title=rec.get("preferred_zh", rec.get("title", "")),
+                        score=float(rec.get("score", 0.0)),
+                        level=rec.get("level", 1),
+                        parent_code=rec.get("parent_code", ""),
+                        enhanced_score=float(rec.get("score", 0.0)),
+                        original_score=float(
+                            rec.get("original_score", rec.get("score", 0.0))
+                        ),
+                    )
+                )
+            return DiagnosisMatch(
+                diagnosis_text=diagnosis,
+                candidates=candidates,
+                match_confidence=self._calculate_match_confidence(candidates),
+            )
+        except Exception:
+            return DiagnosisMatch(
+                diagnosis_text=diagnosis, candidates=[], match_confidence=0.0
+            )
+
+    @staticmethod
+    def _calculate_match_confidence(candidates: List[Candidate]) -> float:
+        """Heuristic confidence (reference :275-304)."""
+        if not candidates:
+            return 0.0
+        scores = [c.score for c in candidates]
+        max_score = max(scores)
+        if max_score > 0.9:
+            confidence = min(max_score, 0.95)
+        elif len([s for s in scores if s > 0.7]) >= 2:
+            confidence = max_score * 0.8
+        else:
+            confidence = max_score * 0.6
+        return round(confidence, 3)
+
+    # ----------------------------------------------------------- reporting
+
+    def get_diagnosis_suggestions(
+        self, text: str, min_confidence: float = 0.5
+    ) -> List[Dict[str, Any]]:
+        """Reference contract :387-421."""
+        result = self.match_multiple_diagnoses(text)
+        suggestions = []
+        for match in result["matches"]:
+            if match.match_confidence >= min_confidence and match.candidates:
+                suggestions.append(
+                    {
+                        "diagnosis": match.diagnosis_text,
+                        "confidence": match.match_confidence,
+                        "best_match": {
+                            "code": match.candidates[0].code,
+                            "title": match.candidates[0].title,
+                            "score": match.candidates[0].score,
+                        },
+                        "alternative_matches": [
+                            {"code": c.code, "title": c.title, "score": c.score}
+                            for c in match.candidates[1:]
+                        ],
+                    }
+                )
+        return suggestions
+
+    def get_detailed_confidence_report(self, text: str, top_k: int = 5) -> Dict:
+        """Reference contract :423-509."""
+        try:
+            results = self.match_multiple_diagnoses(text, top_k)
+            report: Dict[str, Any] = {
+                "original_text": text,
+                "processing_summary": {
+                    "total_diagnoses": len(results.get("matches", [])),
+                    "processing_mode": results.get("processing_mode", "standard"),
+                    "extraction_metadata": results.get("extraction_metadata", {}),
+                },
+                "diagnosis_reports": [],
+                "overall_assessment": {},
+            }
+            total_conf, high_count = 0.0, 0
+            for match in results.get("matches", []):
+                if match.confidence_metrics is None:
+                    continue
+                explanation = self.confidence_service.get_confidence_explanation(
+                    match.confidence_metrics, match.confidence_factors
+                )
+                report["diagnosis_reports"].append(
+                    {
+                        "diagnosis": match.diagnosis_text,
+                        "match_confidence": match.match_confidence,
+                        "confidence_level": match.confidence_level,
+                        "confidence_interval": list(
+                            match.confidence_metrics.confidence_interval
+                        ),
+                        "reliability_score": match.confidence_metrics.reliability_score,
+                        "top_candidates": [
+                            {
+                                "code": c.code,
+                                "title": c.title,
+                                "score": c.score,
+                                "enhanced_score": c.enhanced_score or c.score,
+                            }
+                            for c in match.candidates[:3]
+                        ],
+                        "factor_analysis": explanation["factor_contributions"],
+                        "top_contributing_factors": explanation[
+                            "top_contributing_factors"
+                        ],
+                        "improvement_suggestions": explanation.get(
+                            "improvement_suggestions", []
+                        ),
+                    }
+                )
+                total_conf += match.match_confidence
+                if (
+                    match.match_confidence
+                    >= self.confidence_service.confidence_thresholds["high_confidence"]
+                ):
+                    high_count += 1
+            if report["diagnosis_reports"]:
+                n = len(report["diagnosis_reports"])
+                avg = total_conf / n
+                report["overall_assessment"] = {
+                    "average_confidence": avg,
+                    "high_confidence_ratio": high_count / n,
+                    "overall_quality": self._overall_quality(avg, high_count, n),
+                    "recommendations": self._recommendations(
+                        report["diagnosis_reports"]
+                    ),
+                }
+            return report
+        except Exception as e:
+            return {
+                "original_text": text,
+                "error": str(e),
+                "processing_summary": {},
+                "diagnosis_reports": [],
+                "overall_assessment": {},
+            }
+
+    @staticmethod
+    def _overall_quality(avg: float, high_count: int, total: int) -> str:
+        if avg >= 0.8 and high_count / total >= 0.7:
+            return "优秀"
+        if avg >= 0.6 and high_count / total >= 0.5:
+            return "良好"
+        if avg >= 0.4:
+            return "一般"
+        return "待改进"
+
+    @staticmethod
+    def _recommendations(reports: List[Dict]) -> List[str]:
+        recommendations: List[str] = []
+        total = len(reports)
+        low = sum(1 for r in reports if r["match_confidence"] < 0.6)
+        if total and low / total > 0.5:
+            recommendations.append("建议补充更详细的临床症状描述")
+            recommendations.append("考虑使用更准确的医学术语")
+        all_suggestions: List[str] = []
+        for r in reports:
+            all_suggestions.extend(r.get("improvement_suggestions", []))
+        if all_suggestions:
+            recommendations.extend(list(dict.fromkeys(all_suggestions))[:2])
+        return recommendations

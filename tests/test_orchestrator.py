@@ -1,0 +1,156 @@
+"""Orchestrator tests with a deterministic mock encoder (the reference's
+duck-typed mock-embedding fixture pattern, SURVEY.md §4)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from rag_icd10_tpu.config import NERConfig, StoreConfig
+from rag_icd10_tpu.data.corpus import ICDCorpus
+from rag_icd10_tpu.index import VectorStore
+from rag_icd10_tpu.pipeline.ner import MedicalNERService
+from rag_icd10_tpu.pipeline.orchestrator import MultiDiagnosisService
+from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+
+
+class MockEncoder:
+    """Deterministic text -> unit vector. Same text => same vector; adds a
+    char-overlap component so related strings are closer than random."""
+
+    dim = 64
+
+    def _vec(self, text: str) -> np.ndarray:
+        h = hashlib.sha256(text.encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "little"))
+        v = rng.standard_normal(self.dim)
+        for ch in text:
+            crng = np.random.default_rng(ord(ch))
+            v += 0.8 * crng.standard_normal(self.dim)
+        return (v / np.linalg.norm(v)).astype(np.float32)
+
+    def encode_queries(self, texts):
+        return np.stack([self._vec(t) for t in texts])
+
+    def encode_query(self, text):
+        return self._vec(text)
+
+    def encode_batch(self, texts, kind="passage", batch_size=None):
+        return self.encode_queries(texts)
+
+
+CORPUS_ROWS = [
+    {"code": "K52", "disease": "胃肠炎"},
+    {"code": "K52.9", "disease": "未特指的胃肠炎"},
+    {"code": "K52.904", "disease": "急性胃肠炎"},
+    {"code": "I10", "disease": "高血压"},
+    {"code": "I10.005", "disease": "高血压病3级"},
+    {"code": "E11", "disease": "2型糖尿病"},
+    {"code": "E11.9", "disease": "未特指的2型糖尿病"},
+    {"code": "J18", "disease": "肺炎"},
+]
+
+
+@pytest.fixture(scope="module")
+def service():
+    corpus = ICDCorpus.from_rows(CORPUS_ROWS)
+    enc = MockEncoder()
+    vecs = enc.encode_queries(corpus.semantic_texts)
+    store = VectorStore(dim=64, config=StoreConfig(pad_multiple=128))
+    store.insert_records(list(corpus.records()), vecs, semantic_vectors=vecs)
+    ner = MedicalNERService(NERConfig(use_model=False))
+    return MultiDiagnosisService(
+        encoder=enc,
+        store=store,
+        ner_service=ner,
+        text_processor=DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner
+        ),
+    )
+
+
+class TestMatchMultiple:
+    def test_result_contract(self, service):
+        result = service.match_multiple_diagnoses("急性胃肠炎，高血压病3级", top_k=3)
+        assert set(result) == {
+            "original_text",
+            "extracted_diagnoses",
+            "matches",
+            "total_matches",
+            "processing_mode",
+            "extraction_metadata",
+        }
+        assert len(result["extracted_diagnoses"]) == 2
+        assert len(result["matches"]) == 2
+        assert result["total_matches"] == sum(
+            len(m.candidates) for m in result["matches"]
+        )
+
+    def test_exact_title_match_ranks_first(self, service):
+        result = service.match_multiple_diagnoses("急性胃肠炎", top_k=3)
+        match = result["matches"][0]
+        assert match.candidates[0].title == "急性胃肠炎"
+        # exact match floor >= 1.5 (hierarchical_similarity_service.py:203-209)
+        assert match.candidates[0].score >= 1.5
+
+    def test_candidates_have_factors_and_confidence(self, service):
+        result = service.match_multiple_diagnoses("急性胃肠炎", top_k=3)
+        m = result["matches"][0]
+        assert m.confidence_metrics is not None
+        assert m.confidence_level in ("高置信度", "中等置信度", "低置信度", "极低置信度")
+        c = m.candidates[0]
+        assert c.similarity_factors is not None
+        assert c.original_score is not None
+
+    def test_empty_text(self, service):
+        result = service.match_multiple_diagnoses("", top_k=3)
+        assert result["matches"] == [] and result["total_matches"] == 0
+
+    def test_uncertainty_boosts_unspecified(self, service):
+        result = service.match_multiple_diagnoses("胃肠炎待查", top_k=3)
+        titles = [c.title for c in result["matches"][0].candidates]
+        assert "未特指的胃肠炎" in titles
+
+    def test_topk_respected(self, service):
+        result = service.match_multiple_diagnoses("肺炎", top_k=2)
+        assert len(result["matches"][0].candidates) <= 2
+
+    def test_match_dict_serializable(self, service):
+        import json
+
+        result = service.match_multiple_diagnoses("急性胃肠炎", top_k=2)
+        payload = [m.to_dict() for m in result["matches"]]
+        json.dumps(payload)  # must not raise
+
+
+class TestHeuristicConfidence:
+    def test_formula(self, service):
+        from rag_icd10_tpu.pipeline.orchestrator import Candidate
+
+        mk = lambda s: Candidate(code="x", title="y", score=s)
+        f = service._calculate_match_confidence
+        assert f([mk(0.95)]) == 0.95
+        assert f([mk(0.99)]) == 0.95  # capped
+        assert f([mk(0.8), mk(0.75)]) == pytest.approx(0.8 * 0.8)
+        assert f([mk(0.5)]) == pytest.approx(0.3)
+        assert f([]) == 0.0
+
+
+class TestReports:
+    def test_suggestions(self, service):
+        suggestions = service.get_diagnosis_suggestions("急性胃肠炎", min_confidence=0.0)
+        assert suggestions
+        assert {"diagnosis", "confidence", "best_match", "alternative_matches"} <= set(
+            suggestions[0]
+        )
+
+    def test_detailed_report(self, service):
+        report = service.get_detailed_confidence_report("急性胃肠炎，高血压病3级")
+        assert report["processing_summary"]["total_diagnoses"] == 2
+        assert len(report["diagnosis_reports"]) == 2
+        assert report["overall_assessment"]["overall_quality"] in (
+            "优秀",
+            "良好",
+            "一般",
+            "待改进",
+        )
