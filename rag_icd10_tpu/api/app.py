@@ -1,0 +1,460 @@
+"""HTTP API service (aiohttp) — reference-compatible endpoint surface.
+
+Endpoints (reference: main.py:250-748): ``/``, ``/health``, ``/query``,
+``/standardize``, ``/embed``, ``/entities``, ``/stats``, ``/llm/switch``,
+``/llm/test``, ``/resource/status``, ``/resource/release``,
+``/resource/reload`` — same request/response contracts (api/schemas.py).
+
+Implementation differences:
+- aiohttp instead of FastAPI/uvicorn (not available in this environment);
+  pydantic still validates all payloads so 422-style errors are preserved
+  (mapped to 400 with detail).
+- /query and /standardize go through the RequestBatcher: concurrent
+  requests coalesce into one device batch.
+- CORS * (reference: main.py:238-244); rotating file log logs/api.log,
+  50 MB (reference: main.py:247, loguru -> stdlib RotatingFileHandler).
+- Also serves the web UI at /ui (rag_icd10_tpu/api/static/).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import gc
+import json
+import logging
+import logging.handlers
+import time
+from pathlib import Path
+from typing import Any, Dict
+
+from aiohttp import web
+from pydantic import ValidationError
+
+from ..config import Config, get_config
+from ..runtime import Engine
+from .batching import RequestBatcher
+from .schemas import (
+    Candidate,
+    DiagnosisMatch,
+    EmbeddingRequest,
+    EmbeddingResponse,
+    HealthCheckResponse,
+    QueryRequest,
+    QueryResponse,
+    StandardizeRequest,
+    StandardizeResponse,
+    convert_numpy_types,
+)
+
+logger = logging.getLogger("rag_icd10_tpu.api")
+
+STATIC_DIR = Path(__file__).parent / "static"
+
+
+def setup_logging(config: Config) -> None:
+    Path("logs").mkdir(exist_ok=True)
+    handler = logging.handlers.RotatingFileHandler(
+        "logs/api.log", maxBytes=50 * 1024 * 1024, backupCount=3, encoding="utf-8"
+    )
+    handler.setFormatter(
+        logging.Formatter("%(asctime)s | %(levelname)s | %(name)s | %(message)s")
+    )
+    root = logging.getLogger("rag_icd10_tpu")
+    root.setLevel(getattr(logging, config.log_level.upper(), logging.INFO))
+    root.addHandler(handler)
+    root.addHandler(logging.StreamHandler())
+
+
+def json_response(payload: Any, status: int = 200) -> web.Response:
+    return web.json_response(
+        convert_numpy_types(payload), status=status, dumps=lambda o: json.dumps(o, ensure_ascii=False)
+    )
+
+
+def error_response(detail: str, status: int) -> web.Response:
+    return json_response({"detail": detail}, status=status)
+
+
+def match_to_schema(match) -> DiagnosisMatch:
+    return DiagnosisMatch(
+        diagnosis_text=match.diagnosis_text,
+        candidates=[
+            Candidate(
+                code=c.code,
+                title=c.title,
+                score=max(float(c.score), 0.0),
+                level=c.level,
+                parent_code=c.parent_code,
+                enhanced_score=c.enhanced_score,
+                original_score=c.original_score,
+                similarity_factors=(
+                    c.similarity_factors.to_dict() if c.similarity_factors else None
+                ),
+            )
+            for c in match.candidates
+        ],
+        match_confidence=min(max(float(match.match_confidence), 0.0), 1.0),
+        confidence_metrics=(
+            match.confidence_metrics.to_dict() if match.confidence_metrics else None
+        ),
+        confidence_factors=(
+            match.confidence_factors.to_dict() if match.confidence_factors else None
+        ),
+        confidence_level=match.confidence_level or None,
+    )
+
+
+class APIServer:
+    def __init__(self, config: Config = None, engine: Engine = None):
+        self.config = config or get_config()
+        self.engine = engine or Engine(self.config)
+        self.batcher: RequestBatcher = None
+        self.app = web.Application(middlewares=[self._cors_middleware])
+        self._routes()
+
+    # ------------------------------------------------------------- setup
+
+    @web.middleware
+    async def _cors_middleware(self, request, handler):
+        if request.method == "OPTIONS":
+            resp = web.Response()
+        else:
+            try:
+                resp = await handler(request)
+            except web.HTTPException as e:
+                resp = e
+        resp.headers["Access-Control-Allow-Origin"] = "*"
+        resp.headers["Access-Control-Allow-Methods"] = "GET, POST, OPTIONS"
+        resp.headers["Access-Control-Allow-Headers"] = "Content-Type"
+        return resp
+
+    def _routes(self) -> None:
+        app = self.app
+        app.router.add_get("/", self.root)
+        app.router.add_get("/health", self.health)
+        app.router.add_post("/query", self.query)
+        app.router.add_post("/standardize", self.standardize)
+        app.router.add_post("/embed", self.embed)
+        app.router.add_post("/entities", self.entities)
+        app.router.add_get("/stats", self.stats)
+        app.router.add_post("/llm/switch", self.llm_switch)
+        app.router.add_get("/llm/test", self.llm_test)
+        app.router.add_get("/resource/status", self.resource_status)
+        app.router.add_post("/resource/release", self.resource_release)
+        app.router.add_post("/resource/reload", self.resource_reload)
+        if STATIC_DIR.exists():
+            app.router.add_get("/ui", self.ui_index)
+            app.router.add_static("/ui/", str(STATIC_DIR))
+        app.on_startup.append(self._on_startup)
+        app.on_cleanup.append(self._on_cleanup)
+
+    async def _on_startup(self, app) -> None:
+        loop = asyncio.get_event_loop()
+        await loop.run_in_executor(None, self.engine.startup)
+        matcher = self.engine.matcher
+        self.batcher = RequestBatcher(
+            matcher.match_many_texts,
+            window_ms=self.config.api.batch_window_ms,
+            max_batch=self.config.api.max_batch,
+        )
+        self.batcher.start()
+        logger.info("API ready on %s:%s", self.config.api.host, self.config.api.port)
+
+    async def _on_cleanup(self, app) -> None:
+        if self.batcher:
+            await self.batcher.stop()
+        self.engine.shutdown()
+
+    # ----------------------------------------------------------- handlers
+
+    async def root(self, request) -> web.Response:
+        return json_response(
+            {
+                "message": "ICD-10 诊断标准化API (TPU-native)",
+                "version": "1.0.0",
+                "docs": "/docs",
+                "health": "/health",
+            }
+        )
+
+    async def health(self, request) -> web.Response:
+        try:
+            encoder_loaded = self.engine.encoder is not None
+            store = self.engine.store
+            connected = bool(store and store.test_connection())
+            total = store.num_entities if store else 0
+            status = "healthy" if (encoder_loaded and connected and total) else "unhealthy"
+            payload = HealthCheckResponse(
+                status=status,
+                milvus_connected=connected,
+                embedding_model_loaded=encoder_loaded,
+                total_records=total,
+            )
+            return json_response(payload.model_dump())
+        except Exception as e:
+            return error_response(f"健康检查失败: {e}", 500)
+
+    async def query(self, request) -> web.Response:
+        try:
+            req = QueryRequest(**await request.json())
+        except (ValidationError, json.JSONDecodeError, TypeError) as e:
+            return error_response(f"请求无效: {e}", 400)
+        if self.batcher is None:
+            return error_response("服务未就绪", 503)
+        try:
+            result = await self.batcher.submit(req.text, req.top_k)
+            matches = [match_to_schema(m) for m in result["matches"]]
+            all_candidates = [c for m in matches for c in m.candidates]
+            all_candidates.sort(key=lambda c: c.score, reverse=True)
+            response = QueryResponse(
+                candidates=all_candidates[: req.top_k],
+                is_multi_diagnosis=len(result["extracted_diagnoses"]) > 1,
+                extracted_diagnoses=result["extracted_diagnoses"],
+                diagnosis_matches=matches,
+                processing_metadata={
+                    "processing_mode": result.get("processing_mode", "enhanced"),
+                    "extraction_metadata": result.get("extraction_metadata", {}),
+                    "total_diagnoses": len(result["extracted_diagnoses"]),
+                    "total_candidates": result["total_matches"],
+                },
+            )
+            return json_response(response.model_dump())
+        except Exception as e:
+            logger.exception("query failed")
+            return error_response(f"查询失败: {e}", 500)
+
+    async def standardize(self, request) -> web.Response:
+        try:
+            req = StandardizeRequest(**await request.json())
+        except (ValidationError, json.JSONDecodeError, TypeError) as e:
+            return error_response(f"请求无效: {e}", 400)
+        if self.batcher is None or self.engine.llm is None:
+            return error_response("服务未就绪", 503)
+        try:
+            result = await self.batcher.submit(req.text, req.top_k)
+            matches = result["matches"]
+            extracted = result["extracted_diagnoses"]
+            all_candidates = [c for m in matches for c in m.candidates]
+            all_candidates.sort(key=lambda c: c.score, reverse=True)
+            all_candidates = all_candidates[: req.top_k]
+            if not all_candidates:
+                return json_response(StandardizeResponse(results=[]).model_dump())
+
+            loop = asyncio.get_event_loop()
+            llm = self.engine.llm
+            if len(extracted) > 1:
+                groups = []
+                for m in matches:
+                    cands = [
+                        {"code": c.code, "title": c.title, "score": float(c.score)}
+                        for c in m.candidates
+                    ]
+                    llm_results = await loop.run_in_executor(
+                        None, llm.standardize_diagnosis, m.diagnosis_text, cands,
+                        req.llm_provider,
+                    )
+                    groups.append(
+                        {
+                            "diagnosis_text": m.diagnosis_text,
+                            "match_confidence": m.match_confidence,
+                            "confidence_level": m.confidence_level,
+                            "standardized_results": llm_results,
+                            "candidates": cands,
+                        }
+                    )
+                results = [
+                    {
+                        "is_multi_diagnosis": True,
+                        "extracted_diagnoses": extracted,
+                        "standardization_groups": groups,
+                        "total_diagnoses": len(extracted),
+                    }
+                ]
+            else:
+                cands = [
+                    {"code": c.code, "title": c.title, "score": float(c.score)}
+                    for c in all_candidates
+                ]
+                llm_results = await loop.run_in_executor(
+                    None, llm.standardize_diagnosis, req.text, cands, req.llm_provider
+                )
+                results = [
+                    {
+                        "is_multi_diagnosis": False,
+                        "standardized_results": llm_results,
+                        "candidates": cands,
+                    }
+                ]
+            return json_response(StandardizeResponse(results=results).model_dump())
+        except Exception as e:
+            logger.exception("standardize failed")
+            return error_response(f"标准化失败: {e}", 500)
+
+    async def embed(self, request) -> web.Response:
+        try:
+            req = EmbeddingRequest(**await request.json())
+        except (ValidationError, json.JSONDecodeError, TypeError) as e:
+            return error_response(f"请求无效: {e}", 400)
+        if self.engine.encoder is None:
+            return error_response("向量化服务未就绪", 503)
+        try:
+            loop = asyncio.get_event_loop()
+            vecs = await loop.run_in_executor(
+                None, self.engine.encoder.encode_batch, req.texts
+            )
+            info = self.engine.encoder.get_model_info()
+            payload = EmbeddingResponse(
+                embeddings=[v.tolist() for v in vecs], model=info["model_name"]
+            )
+            return json_response(payload.model_dump())
+        except Exception as e:
+            return error_response(f"向量化失败: {e}", 500)
+
+    async def entities(self, request) -> web.Response:
+        try:
+            body = await request.json()
+        except json.JSONDecodeError:
+            return error_response("请求无效", 400)
+        text = body.get("text", "")
+        if not text:
+            return error_response("文本不能为空", 400)
+        if self.engine.matcher is None:
+            return error_response("多诊断服务未就绪", 503)
+        try:
+            ner = self.engine.matcher.ner_service
+            filter_drugs = body.get("filter_drugs", True)
+            loop = asyncio.get_event_loop()
+            ents = await loop.run_in_executor(
+                None, lambda: ner.extract_medical_entities(text, filter_drugs)
+            )
+            summary = await loop.run_in_executor(None, ner.get_entity_summary, text)
+            return json_response({**summary, "entities": ents})
+        except Exception as e:
+            return error_response(f"实体提取失败: {e}", 500)
+
+    async def stats(self, request) -> web.Response:
+        try:
+            stats: Dict[str, Any] = {}
+            if self.engine.store is not None:
+                stats["milvus"] = self.engine.store.get_collection_stats()
+            if self.engine.encoder is not None:
+                stats["embedding"] = self.engine.encoder.get_model_info()
+            if self.engine.llm is not None:
+                stats["llm"] = self.engine.llm.get_provider_info()
+            if self.batcher is not None:
+                stats["batching"] = self.batcher.stats()
+            stats["uptime_s"] = round(time.time() - self.engine.started_at, 1)
+            return json_response(stats)
+        except Exception as e:
+            return error_response(f"获取统计信息失败: {e}", 500)
+
+    async def llm_switch(self, request) -> web.Response:
+        provider = request.query.get("provider", "")
+        if not provider:
+            try:
+                body = await request.json()
+                provider = body.get("provider", "")
+            except json.JSONDecodeError:
+                pass
+        if self.engine.llm is None:
+            return error_response("LLM服务未就绪", 503)
+        if self.engine.llm.switch_provider(provider):
+            return json_response(
+                {"message": f"成功切换到 {provider}", "current_provider": provider}
+            )
+        return error_response(f"切换到 {provider} 失败", 400)
+
+    async def llm_test(self, request) -> web.Response:
+        if self.engine.llm is None:
+            return error_response("LLM服务未就绪", 503)
+        loop = asyncio.get_event_loop()
+        result = await loop.run_in_executor(None, self.engine.llm.test_connection)
+        return json_response(result)
+
+    async def resource_status(self, request) -> web.Response:
+        status: Dict[str, Any] = {}
+        if self.engine.store is not None:
+            status["milvus"] = self.engine.store.health_check()
+        else:
+            status["milvus"] = {"healthy": False, "message": "服务未初始化"}
+        if self.engine.encoder is not None:
+            info = self.engine.encoder.get_model_info()
+            status["embedding"] = {
+                "loaded": True,
+                "model_name": info["model_name"],
+                "device": info["device"],
+            }
+        else:
+            status["embedding"] = {"loaded": False, "message": "服务未初始化"}
+        if self.engine.llm is not None:
+            status["llm"] = self.engine.llm.get_provider_info()
+        else:
+            status["llm"] = {"connected": False, "message": "服务未初始化"}
+        if self.engine.matcher is not None:
+            status["multi_diagnosis"] = {
+                "initialized": True,
+                "ner_service": "MedicalNERService",
+                "hierarchical_similarity": "HierarchicalSimilarityService",
+                "confidence_service": "MultiDimensionalConfidenceService",
+                "text_processor": "DiagnosisTextProcessor",
+            }
+        else:
+            status["multi_diagnosis"] = {"initialized": False}
+        return json_response(status)
+
+    async def resource_release(self, request) -> web.Response:
+        try:
+            results: Dict[str, Any] = {}
+            if self.engine.store is not None:
+                results["milvus_collection"] = self.engine.store.release_collection()
+            collected = gc.collect()
+            results["garbage_collection"] = {"collected_objects": collected}
+            return json_response({"status": "success", "results": results})
+        except Exception as e:
+            return error_response(f"释放资源失败: {e}", 500)
+
+    async def resource_reload(self, request) -> web.Response:
+        if self.engine.store is None:
+            return error_response("存储服务未就绪", 503)
+        try:
+            released = self.engine.store.release_collection()
+            loop = asyncio.get_event_loop()
+            loaded = await loop.run_in_executor(
+                None, self.engine.store.load_collection
+            )
+            if not loaded:
+                return error_response("集合重新加载失败", 500)
+            return json_response(
+                {
+                    "status": "success",
+                    "message": "集合重新加载成功",
+                    "release_result": released,
+                    "load_state": {"loaded": self.engine.store.is_loaded},
+                    "memory_usage": self.engine.store.get_memory_usage(),
+                }
+            )
+        except Exception as e:
+            return error_response(f"重新加载集合失败: {e}", 500)
+
+    async def ui_index(self, request) -> web.Response:
+        index = STATIC_DIR / "index.html"
+        if index.exists():
+            return web.FileResponse(index)
+        return error_response("UI not built", 404)
+
+    # --------------------------------------------------------------- run
+
+    def run(self) -> None:
+        setup_logging(self.config)
+        web.run_app(
+            self.app, host=self.config.api.host, port=self.config.api.port,
+            print=None,
+        )
+
+
+def main() -> None:
+    APIServer().run()
+
+
+if __name__ == "__main__":
+    main()

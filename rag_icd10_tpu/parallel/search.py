@@ -1,0 +1,88 @@
+"""Corpus-sharded flat search over a device mesh.
+
+Scaling axis for retrieval is the CORPUS dimension: each device holds an
+N/n_devices row shard in HBM, scans it with the same fused weighted-score
+kernel, takes a per-shard top-k, and ONE all_gather of (k values, k
+indices) per query merges the results — k*n rows instead of N cross
+the interconnect.
+
+The reference has no distributed search at all (single Milvus-Lite file);
+this design keeps the 40k corpus single-chip (it is tiny) but scales the
+same code to 100M+ rows on a pod slice.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.flat_topk import pad_corpus
+
+
+class ShardedFlatSearcher:
+    """Flat scan with the corpus row dimension sharded over a mesh axis."""
+
+    def __init__(
+        self,
+        corpus: np.ndarray,
+        weights: np.ndarray,
+        mesh: Mesh,
+        axis: str = "dp",
+    ):
+        self.mesh = mesh
+        self.axis = axis
+        n_shards = mesh.shape[axis]
+        # pad so rows divide evenly into shards of tile-aligned size
+        multiple = 128 * n_shards
+        cp, wp, mask = pad_corpus(corpus, weights, multiple=multiple)
+        self.n_padded = cp.shape[0]
+        row_sharding = NamedSharding(mesh, P(axis, None))
+        vec_sharding = NamedSharding(mesh, P(axis))
+        self.corpus = jax.device_put(cp, row_sharding)
+        self.weights = jax.device_put(wp, vec_sharding)
+        self.mask = jax.device_put(mask, vec_sharding)
+        self._fn_cache = {}
+
+    def _build(self, k: int):
+        axis = self.axis
+        n_shards = self.mesh.shape[axis]
+        shard_rows = self.n_padded // n_shards
+
+        def shard_fn(q, corpus, weights, mask):
+            # per-shard weighted scores + local top-k
+            scores = jnp.dot(
+                q, corpus.T, preferred_element_type=jnp.float32
+            ) * weights[None, :] + mask[None, :]
+            vals, idx = jax.lax.top_k(scores, k)
+            # localize -> globalize indices
+            shard_id = jax.lax.axis_index(axis)
+            idx = idx + shard_id * shard_rows
+            # gather all shards' candidates: (B, n_shards*k)
+            all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+            fvals, fpos = jax.lax.top_k(all_vals, k)
+            fidx = jnp.take_along_axis(all_idx, fpos, axis=1)
+            return fvals, fidx
+
+        from jax.experimental.shard_map import shard_map
+
+        in_specs = (P(), P(axis, None), P(axis), P(axis))
+        out_specs = (P(), P())
+        fn = shard_map(
+            shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False,
+        )
+        return jax.jit(fn)
+
+    def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:
+        """(B, D) queries -> (values (B,k), global indices (B,k))."""
+        if k not in self._fn_cache:
+            self._fn_cache[k] = self._build(k)
+        q = jnp.asarray(np.atleast_2d(queries), dtype=self.corpus.dtype)
+        vals, idx = self._fn_cache[k](q, self.corpus, self.weights, self.mask)
+        return np.asarray(vals), np.asarray(idx)

@@ -127,54 +127,91 @@ class MultiDiagnosisService:
     # ------------------------------------------------------------- public
 
     def match_multiple_diagnoses(self, text: str, top_k: int = 5) -> Dict[str, Any]:
-        enhanced_diagnoses = self.text_processor.extract_diagnoses_enhanced(text)
-        diagnoses = [
-            d.get("diagnosis_text", d.get("text", "")) for d in enhanced_diagnoses
-        ]
-        diagnoses = [d for d in diagnoses if d]
-        if not diagnoses:
-            return {
-                "original_text": text,
-                "extracted_diagnoses": [],
-                "matches": [],
-                "total_matches": 0,
-                "processing_mode": self.text_processor.get_processing_mode(),
-                "extraction_metadata": {
-                    "enhanced_results_count": len(enhanced_diagnoses),
-                    "avg_extraction_confidence": 0.0,
-                },
-            }
-        confidences = [
-            d.get("diagnosis_confidence", 0.5) for d in enhanced_diagnoses
-        ] or [0.0]
-        avg_extraction_confidence = sum(confidences) / len(confidences)
+        return self.match_many_texts([text], top_k)[0]
+
+    def match_many_texts(
+        self, texts: List[str], top_k: int = 5
+    ) -> List[Dict[str, Any]]:
+        """Process a BATCH of independent request texts in one device batch.
+
+        This is the request-coalescing entry the API batching layer uses:
+        all sub-diagnoses of all texts share ONE encoder forward and ONE
+        fused search scan (a capability the reference does not have — it
+        processes requests and sub-diagnoses strictly sequentially,
+        multi_diagnosis_service.py:98-103).
+        """
+        per_text: List[Dict[str, Any]] = []
+        flat_diagnoses: List[str] = []
+        for text in texts:
+            enhanced = self.text_processor.extract_diagnoses_enhanced(text)
+            diagnoses = [
+                d.get("diagnosis_text", d.get("text", "")) for d in enhanced
+            ]
+            diagnoses = [d for d in diagnoses if d]
+            confidences = [d.get("diagnosis_confidence", 0.5) for d in enhanced]
+            per_text.append(
+                {
+                    "text": text,
+                    "diagnoses": diagnoses,
+                    "offset": len(flat_diagnoses),
+                    "enhanced_count": len(enhanced),
+                    "avg_conf": (
+                        sum(confidences) / len(confidences) if confidences else 0.0
+                    ),
+                }
+            )
+            flat_diagnoses.extend(diagnoses)
 
         # === the batched hot path: ONE encode, ONE fused search ===
-        query_vecs = np.asarray(self.encoder.encode_queries(diagnoses))
-        all_hits = self.store.search(query_vecs, top_k * self.overfetch)
+        if flat_diagnoses:
+            query_vecs = np.asarray(self.encoder.encode_queries(flat_diagnoses))
+            all_hits = self.store.search(query_vecs, top_k * self.overfetch)
+        else:
+            query_vecs, all_hits = np.zeros((0, 1)), []
 
-        matches: List[DiagnosisMatch] = []
-        total_candidates = 0
-        for i, diagnosis in enumerate(diagnoses):
-            match = self._rescore_single(
-                diagnosis, query_vecs[i], all_hits[i], top_k
+        results: List[Dict[str, Any]] = []
+        for info in per_text:
+            diagnoses = info["diagnoses"]
+            if not diagnoses:
+                results.append(
+                    {
+                        "original_text": info["text"],
+                        "extracted_diagnoses": [],
+                        "matches": [],
+                        "total_matches": 0,
+                        "processing_mode": self.text_processor.get_processing_mode(),
+                        "extraction_metadata": {
+                            "enhanced_results_count": info["enhanced_count"],
+                            "avg_extraction_confidence": 0.0,
+                        },
+                    }
+                )
+                continue
+            matches: List[DiagnosisMatch] = []
+            total_candidates = 0
+            for j, diagnosis in enumerate(diagnoses):
+                idx = info["offset"] + j
+                match = self._rescore_single(
+                    diagnosis, query_vecs[idx], all_hits[idx], top_k
+                )
+                matches.append(match)
+                total_candidates += len(match.candidates)
+            results.append(
+                {
+                    "original_text": info["text"],
+                    "extracted_diagnoses": diagnoses,
+                    "matches": matches,
+                    "total_matches": total_candidates,
+                    "processing_mode": self.text_processor.get_processing_mode(),
+                    "extraction_metadata": {
+                        "enhanced_results_count": info["enhanced_count"],
+                        "avg_extraction_confidence": info["avg_conf"],
+                        "extraction_method": "enhanced",
+                        "drug_filtering_enabled": True,
+                    },
+                }
             )
-            matches.append(match)
-            total_candidates += len(match.candidates)
-
-        return {
-            "original_text": text,
-            "extracted_diagnoses": diagnoses,
-            "matches": matches,
-            "total_matches": total_candidates,
-            "processing_mode": self.text_processor.get_processing_mode(),
-            "extraction_metadata": {
-                "enhanced_results_count": len(enhanced_diagnoses),
-                "avg_extraction_confidence": avg_extraction_confidence,
-                "extraction_method": "enhanced" if enhanced_diagnoses else "simple",
-                "drug_filtering_enabled": True,
-            },
-        }
+        return results
 
     # --------------------------------------------------------- single path
 

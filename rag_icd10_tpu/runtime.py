@@ -1,0 +1,126 @@
+"""Engine: the service container wiring encoder, store and pipeline.
+
+Replaces the reference's module-level singletons + lifespan init
+(reference: main.py:25-28,31-105 — Embedding -> Milvus -> LLM ->
+MultiDiagnosis, with non-fatal LLM test). Initialization order and the
+degradation ladder are preserved; construction is explicit instead of
+global.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from pathlib import Path
+from typing import Optional
+
+from .config import Config, get_config
+from .data.corpus import ICDCorpus, load_corpus
+from .index.vector_store import VectorStore
+from .models.encoder import TextEncoder
+from .models.tokenizer import WordPieceTokenizer
+from .pipeline.llm import LLMService
+from .pipeline.ner import MedicalNERService
+from .pipeline.orchestrator import MultiDiagnosisService
+from .pipeline.textproc import DiagnosisTextProcessor
+
+logger = logging.getLogger("rag_icd10_tpu")
+
+
+class Engine:
+    """Lazily-wired service graph with the reference's init order."""
+
+    def __init__(self, config: Optional[Config] = None):
+        from .utils import enable_compile_cache
+
+        enable_compile_cache()
+        self.config = config or get_config()
+        self.encoder: Optional[TextEncoder] = None
+        self.store: Optional[VectorStore] = None
+        self.llm: Optional[LLMService] = None
+        self.ner: Optional[MedicalNERService] = None
+        self.matcher: Optional[MultiDiagnosisService] = None
+        self.started_at = time.time()
+        self.llm_status: dict = {}
+
+    # ----------------------------------------------------------- builders
+
+    def _tokenizer(self) -> WordPieceTokenizer:
+        cfg = self.config
+        vocab_path = cfg.encoder.vocab_path or str(
+            Path(cfg.store.db_path).with_suffix("")
+        ) + ".vocab.txt"
+        if Path(vocab_path).exists():
+            return WordPieceTokenizer.from_vocab_file(vocab_path)
+        corpus = load_corpus(cfg.data_path)
+        tok = WordPieceTokenizer.from_corpus(corpus.titles + corpus.semantic_texts)
+        try:
+            tok.save_vocab(vocab_path)
+        except OSError:
+            pass
+        return tok
+
+    def init_encoder(self) -> TextEncoder:
+        if self.encoder is None:
+            logger.info("initializing encoder (%s)", self.config.encoder.model_name)
+            self.encoder = TextEncoder(self.config.encoder, tokenizer=self._tokenizer())
+        return self.encoder
+
+    def init_store(self, load: bool = True) -> VectorStore:
+        if self.store is None:
+            base = self.config.store.db_path
+            if VectorStore.exists(base):
+                logger.info("loading persisted store from %s", base)
+                self.store = VectorStore.load(base, config=self.config.store)
+            else:
+                logger.warning("no persisted store at %s — empty collection", base)
+                self.store = VectorStore(
+                    dim=self.config.encoder.hidden_size, config=self.config.store
+                )
+            if load and self.store.num_entities:
+                self.store.load_collection()
+        return self.store
+
+    def init_llm(self) -> LLMService:
+        if self.llm is None:
+            self.llm = LLMService(self.config.llm)
+        return self.llm
+
+    def init_matcher(self) -> MultiDiagnosisService:
+        if self.matcher is None:
+            encoder = self.init_encoder()
+            store = self.init_store()
+            self.ner = MedicalNERService(self.config.ner)
+            self.matcher = MultiDiagnosisService(
+                encoder=encoder,
+                store=store,
+                ner_service=self.ner,
+                text_processor=DiagnosisTextProcessor(
+                    encoder=encoder,
+                    use_enhanced_processing=self.config.pipeline.use_enhanced_text_processing,
+                    ner_service=self.ner,
+                ),
+                overfetch=self.config.pipeline.overfetch,
+            )
+        return self.matcher
+
+    def startup(self, test_llm: bool = False) -> None:
+        """Full init in the reference's order; LLM test is non-fatal
+        (main.py:69-89)."""
+        self.init_encoder()
+        self.init_store()
+        self.init_llm()
+        if test_llm:
+            try:
+                self.llm_status = self.llm.test_connection()
+            except Exception as e:
+                self.llm_status = {"connected": False, "error": str(e)}
+        self.init_matcher()
+
+    def shutdown(self) -> None:
+        """Cleanup (reference: main.py:118-226): release device memory,
+        close clients."""
+        if self.store is not None:
+            self.store.release_collection()
+        if self.llm is not None:
+            self.llm.close()

@@ -6,7 +6,9 @@ import time (pytest loads conftest before test modules).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force CPU: the harness presets JAX_PLATFORMS=axon (the real TPU tunnel);
+# tests must run on the virtual 8-device CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,6 +17,14 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import pytest  # noqa: E402
 import jax  # noqa: E402
+
+# the axon sitecustomize imports jax at interpreter start with
+# JAX_PLATFORMS=axon — switch the platform after the fact
+jax.config.update("jax_platforms", "cpu")
+try:
+    jax.clear_backends()
+except Exception:
+    pass
 
 # Persistent compile cache: repeated suite runs skip XLA compiles (the box
 # typically has a single CPU core, so compiles dominate wall-clock).

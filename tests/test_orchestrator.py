@@ -38,6 +38,14 @@ class MockEncoder:
     def encode_batch(self, texts, kind="passage", batch_size=None):
         return self.encode_queries(texts)
 
+    def get_model_info(self):
+        return {
+            "model_name": "mock-encoder",
+            "embedding_dimension": self.dim,
+            "max_seq_length": 512,
+            "device": "mock",
+        }
+
 
 CORPUS_ROWS = [
     {"code": "K52", "disease": "胃肠炎"},
