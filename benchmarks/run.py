@@ -1,0 +1,294 @@
+"""Measurement harness for the BASELINE.json benchmark configs.
+
+The reference publishes no numbers (BASELINE.md), so this harness
+establishes both sides: the reference-equivalent CPU baselines and the
+TPU-native measurements.
+
+Configs (BASELINE.json:6-12):
+  1. exact cosine top-5 over the ICD-10 corpus (768-d, single query)
+  2. HNSW build + efSearch sweep, recall@10 vs flat scan at equal memory
+  3. hierarchical-weighted search (1.2/1.0/0.8 fused into top-k rescore)
+  4. multi-diagnosis batch (split -> N sub-queries -> grouped top-k)
+  5. end-to-end /standardize path (embed + search + confidence) at fixed
+     offered load
+
+Usage:  python -m benchmarks.run [--config N] [--out results.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+from typing import Dict
+
+import numpy as np
+
+
+def _setup():
+    import jax
+
+    from rag_icd10_tpu.config import get_config
+    from rag_icd10_tpu.data.corpus import load_corpus
+    from rag_icd10_tpu.index.vector_store import VectorStore
+    from rag_icd10_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+    cfg = get_config()
+    if VectorStore.exists(cfg.store.db_path):
+        store = VectorStore.load(cfg.store.db_path, config=cfg.store)
+        vectors = store._vectors
+        corpus = store.corpus
+    else:
+        corpus = load_corpus(cfg.data_path, fallback_n=40474)
+        rng = np.random.default_rng(0)
+        vectors = rng.standard_normal((len(corpus), 768)).astype(np.float32)
+        vectors /= np.linalg.norm(vectors, axis=1, keepdims=True)
+    weights = corpus.level_weights(cfg.store.level_weights)
+    return cfg, corpus, vectors, weights
+
+
+def _device_scan_time(queries, vectors, weights, k, iters=100) -> float:
+    """Seconds per batched scan, measured by chaining on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_icd10_tpu.ops.flat_topk import pad_corpus
+    from rag_icd10_tpu.ops.pallas_score import fused_weighted_scores
+
+    cp, wp, m = pad_corpus(vectors, weights, 1024)
+    cd, wd, md = jax.device_put(cp), jax.device_put(wp), jax.device_put(m)
+    qd = jax.device_put(queries)
+    on_tpu = jax.default_backend() == "tpu"
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(q, corpus, w, mask, iters=iters):
+        def body(carry, _):
+            qq = q + carry[:, :1] * 1e-6
+            if on_tpu:
+                s = fused_weighted_scores(qq, corpus, w, mask, tile_n=2048)
+            else:
+                s = jnp.dot(qq, corpus.T, preferred_element_type=jnp.float32)
+                s = s * w[None, :] + mask[None, :]
+            return jax.lax.top_k(s, k)[0], ()
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((q.shape[0], k), jnp.float32), jnp.arange(iters)
+        )
+        return out
+
+    np.asarray(chained(qd, cd, wd, md))  # compile
+    t0 = time.time()
+    np.asarray(chained(qd, cd, wd, md))
+    return (time.time() - t0) / iters
+
+
+def config1_exact_top5(cfg, corpus, vectors, weights) -> Dict:
+    """Single-diagnosis exact cosine top-5 (weights = 1)."""
+    rng = np.random.default_rng(1)
+    ones = np.ones_like(weights)
+    q1 = rng.standard_normal((8, vectors.shape[1])).astype(np.float32)
+    q1 /= np.linalg.norm(q1, axis=1, keepdims=True)
+    per_scan = _device_scan_time(q1, vectors, ones, k=5)
+    # numpy baseline, single query at a time (the reference's mode)
+    t0 = time.time()
+    for i in range(8):
+        s = q1[i : i + 1] @ vectors.T
+        np.argpartition(-s[0], 5)[:5]
+    cpu_per_query = (time.time() - t0) / 8
+    return {
+        "tpu_batch8_scan_ms": round(per_scan * 1000, 3),
+        "tpu_qps": round(8 / per_scan, 1),
+        "cpu_single_query_ms": round(cpu_per_query * 1000, 2),
+        "cpu_qps": round(1 / cpu_per_query, 1),
+        "speedup_batched": round((8 / per_scan) * cpu_per_query, 1),
+    }
+
+
+def config2_hnsw_sweep(cfg, corpus, vectors, weights) -> Dict:
+    """HNSW build + efSearch sweep vs exact flat scan."""
+    from rag_icd10_tpu.index.hnsw_index import HNSWIndex
+
+    n = min(len(vectors), 40474)
+    vecs = vectors[:n]
+    rng = np.random.default_rng(2)
+    nq = 100
+    # realistic queries: perturbed corpus rows
+    qidx = rng.integers(0, n, nq)
+    q = vecs[qidx] + 0.05 * rng.standard_normal((nq, vecs.shape[1])).astype(
+        np.float32
+    )
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    exact = np.argsort(-(q @ vecs.T), axis=1)[:, :10]
+
+    t0 = time.time()
+    idx = HNSWIndex(dim=vecs.shape[1], M=cfg.hnsw.M,
+                    ef_construction=cfg.hnsw.ef_construction)
+    idx.add(vecs)
+    build_s = time.time() - t0
+
+    sweep = {}
+    for ef in (16, 32, 64, 128, 256):
+        t0 = time.time()
+        _, ids = idx.search(q, 10, ef_search=ef)
+        dt = (time.time() - t0) / nq
+        recall = float(
+            np.mean([len(set(ids[i]) & set(exact[i])) / 10 for i in range(nq)])
+        )
+        sweep[f"ef{ef}"] = {
+            "recall_at_10": round(recall, 4),
+            "ms_per_query": round(dt * 1000, 3),
+        }
+    flat_bytes = vecs.nbytes
+    return {
+        "build_seconds": round(build_s, 1),
+        "graph_memory_mb": round(idx.memory_bytes() / 1e6, 1),
+        "flat_memory_mb": round(flat_bytes / 1e6, 1),
+        "sweep": sweep,
+    }
+
+
+def config3_weighted_search(cfg, corpus, vectors, weights) -> Dict:
+    """Level weights fused into the scan (the production path)."""
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((64, vectors.shape[1])).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    per_scan = _device_scan_time(q, vectors, weights, k=10)
+    # correctness: fused result == post-hoc weighting
+    from rag_icd10_tpu.ops.flat_topk import flat_search_jax, pad_corpus
+
+    cp, wp, m = pad_corpus(vectors, weights, 1024)
+    _, idx = flat_search_jax(q[:8], cp, wp, m, k=10)
+    expected = (q[:8] @ vectors.T) * weights[None, :]
+    eidx = np.argsort(-expected, axis=1)[:, :10]
+    got = np.take_along_axis(expected, np.asarray(idx), axis=1)
+    want = np.take_along_axis(expected, eidx, axis=1)
+    return {
+        "tpu_batch64_scan_ms": round(per_scan * 1000, 3),
+        "tpu_qps": round(64 / per_scan, 1),
+        "fused_equals_posthoc": bool(np.allclose(got, want, rtol=1e-4)),
+    }
+
+
+def config4_multi_diagnosis(cfg, corpus, vectors, weights) -> Dict:
+    """NER-split text -> N sub-queries -> grouped top-k, end to end."""
+    from rag_icd10_tpu.config import NERConfig, StoreConfig
+    from rag_icd10_tpu.index.vector_store import VectorStore
+    from rag_icd10_tpu.models.encoder import TextEncoder
+    from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+    from rag_icd10_tpu.pipeline.ner import MedicalNERService
+    from rag_icd10_tpu.pipeline.orchestrator import MultiDiagnosisService
+    from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+    from pathlib import Path
+
+    vocab_path = str(Path(cfg.store.db_path).with_suffix("")) + ".vocab.txt"
+    if Path(vocab_path).exists():
+        tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+    else:
+        tok = WordPieceTokenizer.from_corpus(corpus.titles[:2000])
+    encoder = TextEncoder(cfg.encoder, tokenizer=tok)
+    store = VectorStore(dim=encoder.dim, config=cfg.store)
+    store.insert_records(list(corpus.records()), vectors)
+    ner = MedicalNERService(NERConfig(use_model=False))
+    svc = MultiDiagnosisService(
+        encoder=encoder, store=store, ner_service=ner,
+        text_processor=DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner),
+    )
+    text = "急性胃肠炎，高血压病3级，2型糖尿病伴酮症酸中毒"
+    svc.match_multiple_diagnoses(text, top_k=5)  # warm/compile
+    iters = 10
+    t0 = time.time()
+    for _ in range(iters):
+        result = svc.match_multiple_diagnoses(text, top_k=5)
+    dt = (time.time() - t0) / iters
+    return {
+        "request_latency_ms": round(dt * 1000, 1),
+        "requests_per_s": round(1 / dt, 2),
+        "diagnoses_extracted": len(result["extracted_diagnoses"]),
+        "total_candidates": result["total_matches"],
+    }
+
+
+def config5_standardize_qps(cfg, corpus, vectors, weights) -> Dict:
+    """Batched end-to-end path (embed + search + rescore + confidence) at
+    increasing batch sizes — the server's coalesced hot path. LLM call
+    excluded (network); its fallback is pure host time."""
+    from benchmarks.run import config4_multi_diagnosis  # reuse setup path
+    from rag_icd10_tpu.config import NERConfig
+    from rag_icd10_tpu.index.vector_store import VectorStore
+    from rag_icd10_tpu.models.encoder import TextEncoder
+    from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+    from rag_icd10_tpu.pipeline.ner import MedicalNERService
+    from rag_icd10_tpu.pipeline.orchestrator import MultiDiagnosisService
+    from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+    from pathlib import Path
+
+    vocab_path = str(Path(cfg.store.db_path).with_suffix("")) + ".vocab.txt"
+    if Path(vocab_path).exists():
+        tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+    else:
+        tok = WordPieceTokenizer.from_corpus(corpus.titles[:2000])
+    encoder = TextEncoder(cfg.encoder, tokenizer=tok)
+    store = VectorStore(dim=encoder.dim, config=cfg.store)
+    store.insert_records(list(corpus.records()), vectors)
+    ner = MedicalNERService(NERConfig(use_model=False))
+    svc = MultiDiagnosisService(
+        encoder=encoder, store=store, ner_service=ner,
+        text_processor=DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner),
+    )
+    texts = ["急性胃肠炎", "高血压病3级", "2型糖尿病", "肺部感染待查",
+             "冠状动脉粥样硬化性心脏病", "慢性阻塞性肺疾病", "胃溃疡伴出血",
+             "急性阑尾炎"]
+    out = {}
+    for b in (1, 8, 32):
+        batch = (texts * ((b // len(texts)) + 1))[:b]
+        svc.match_many_texts(batch, top_k=10)  # warm
+        iters = 5
+        t0 = time.time()
+        for _ in range(iters):
+            svc.match_many_texts(batch, top_k=10)
+        dt = (time.time() - t0) / iters
+        out[f"batch{b}"] = {
+            "latency_ms": round(dt * 1000, 1),
+            "texts_per_s": round(b / dt, 1),
+        }
+    return out
+
+
+CONFIGS = {
+    1: ("exact cosine top-5", config1_exact_top5),
+    2: ("HNSW efSearch sweep vs flat", config2_hnsw_sweep),
+    3: ("hierarchical-weighted search", config3_weighted_search),
+    4: ("multi-diagnosis batch", config4_multi_diagnosis),
+    5: ("end-to-end standardize path", config5_standardize_qps),
+}
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=int, default=0, help="0 = all")
+    parser.add_argument("--out", default=None)
+    args = parser.parse_args()
+
+    cfg, corpus, vectors, weights = _setup()
+    results = {}
+    todo = [args.config] if args.config else list(CONFIGS)
+    for num in todo:
+        name, fn = CONFIGS[num]
+        t0 = time.time()
+        results[f"config{num}"] = {
+            "name": name,
+            "result": fn(cfg, corpus, vectors, weights),
+            "wall_s": round(time.time() - t0, 1),
+        }
+        print(json.dumps({f"config{num}": results[f"config{num}"]},
+                         ensure_ascii=False))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2, ensure_ascii=False)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,362 @@
+// HNSW graph index (Malkov & Yashunin 2016) — native C++ core with a C API
+// for Python ctypes binding.
+//
+// Role in the framework: the graph-index path for corpora too large to
+// brute-force (the reference's docs claim HNSW though its code builds a
+// FLAT Milvus index — README.md:47 vs services/milvus_service.py:33; we
+// provide both). Metric is inner product (higher = better), matching the
+// store's IP/cosine semantics; internally negated into a distance.
+//
+// Design notes:
+// - deterministic level assignment from a seeded RNG (reproducible builds)
+// - layer>0 degree cap M, layer0 cap 2M; neighbor selection by the
+//   simple-closest heuristic
+// - flat arrays per node for neighbors (cache-friendly), vectors stored
+//   contiguously; distance loop auto-vectorizes under -O3 -march=native
+// - single-writer build, lock-free concurrent reads after build
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <queue>
+#include <random>
+#include <vector>
+
+namespace {
+
+struct Candidate {
+    float dist;
+    int32_t id;
+};
+struct CloserFirst {
+    bool operator()(const Candidate& a, const Candidate& b) const {
+        return a.dist > b.dist;  // min-heap by dist
+    }
+};
+struct FartherFirst {
+    bool operator()(const Candidate& a, const Candidate& b) const {
+        return a.dist < b.dist;  // max-heap by dist
+    }
+};
+
+class HNSW {
+  public:
+    HNSW(int dim, int M, int ef_construction, uint64_t seed)
+        : dim_(dim),
+          M_(M),
+          M0_(2 * M),
+          efc_(ef_construction),
+          mult_(1.0 / std::log(double(M))),
+          rng_(seed),
+          entry_(-1),
+          max_level_(-1) {}
+
+    int dim() const { return dim_; }
+    int size() const { return int(levels_.size()); }
+
+    // negative inner product as distance (IP metric: higher ip = closer)
+    float dist(const float* a, const float* b) const {
+        float s = 0.f;
+        for (int i = 0; i < dim_; ++i) s += a[i] * b[i];
+        return -s;
+    }
+    const float* vec(int32_t id) const { return vectors_.data() + size_t(id) * dim_; }
+
+    void add(const float* v) {
+        int32_t id = size();
+        vectors_.insert(vectors_.end(), v, v + dim_);
+        int level = int(-std::log(uniform_(rng_)) * mult_);
+        levels_.push_back(level);
+        neighbors_.emplace_back();
+        auto& nbrs = neighbors_.back();
+        nbrs.resize(level + 1);
+
+        if (entry_ < 0) {
+            entry_ = id;
+            max_level_ = level;
+            return;
+        }
+
+        int32_t cur = entry_;
+        float cur_d = dist(v, vec(cur));
+        // greedy descend through layers above `level`
+        for (int l = max_level_; l > level; --l) {
+            bool changed = true;
+            while (changed) {
+                changed = false;
+                for (int32_t nb : neighbors_[cur][l]) {
+                    float d = dist(v, vec(nb));
+                    if (d < cur_d) {
+                        cur_d = d;
+                        cur = nb;
+                        changed = true;
+                    }
+                }
+            }
+        }
+        // insert at each layer <= min(level, max_level_)
+        for (int l = std::min(level, max_level_); l >= 0; --l) {
+            auto top = search_layer(v, cur, efc_, l);
+            int cap = (l == 0) ? M0_ : M_;
+            std::sort(top.begin(), top.end(),
+                      [](const Candidate& a, const Candidate& b) {
+                          return a.dist < b.dist;
+                      });
+            // diversity heuristic (Alg. 4): keep a candidate only if it is
+            // closer to the query than to every already-selected neighbor
+            auto selected = select_heuristic(top, M_);
+            auto& my = nbrs[l];
+            for (const Candidate& s : selected) {
+                my.push_back(s.id);
+                auto& theirs = neighbors_[s.id][l];
+                theirs.push_back(id);
+                if (int(theirs.size()) > cap) prune(s.id, l, cap);
+            }
+            if (!top.empty()) cur = top[0].id;
+        }
+        if (level > max_level_) {
+            max_level_ = level;
+            entry_ = id;
+        }
+    }
+
+    // best-first search on one layer; returns up to ef candidates
+    std::vector<Candidate> search_layer(const float* q, int32_t start, int ef,
+                                        int layer) const {
+        std::vector<uint8_t> visited(size(), 0);
+        std::priority_queue<Candidate, std::vector<Candidate>, CloserFirst> to_visit;
+        std::priority_queue<Candidate, std::vector<Candidate>, FartherFirst> best;
+        float d0 = dist(q, vec(start));
+        to_visit.push({d0, start});
+        best.push({d0, start});
+        visited[start] = 1;
+        while (!to_visit.empty()) {
+            Candidate c = to_visit.top();
+            if (c.dist > best.top().dist && int(best.size()) >= ef) break;
+            to_visit.pop();
+            for (int32_t nb : neighbors_[c.id][layer]) {
+                if (visited[nb]) continue;
+                visited[nb] = 1;
+                float d = dist(q, vec(nb));
+                if (int(best.size()) < ef || d < best.top().dist) {
+                    to_visit.push({d, nb});
+                    best.push({d, nb});
+                    if (int(best.size()) > ef) best.pop();
+                }
+            }
+        }
+        std::vector<Candidate> out;
+        out.reserve(best.size());
+        while (!best.empty()) {
+            out.push_back(best.top());
+            best.pop();
+        }
+        return out;
+    }
+
+    void search(const float* q, int k, int ef, int32_t* out_idx,
+                float* out_ip) const {
+        if (entry_ < 0) {
+            for (int i = 0; i < k; ++i) {
+                out_idx[i] = -1;
+                out_ip[i] = 0.f;
+            }
+            return;
+        }
+        int32_t cur = entry_;
+        float cur_d = dist(q, vec(cur));
+        for (int l = max_level_; l > 0; --l) {
+            bool changed = true;
+            while (changed) {
+                changed = false;
+                for (int32_t nb : neighbors_[cur][l]) {
+                    float d = dist(q, vec(nb));
+                    if (d < cur_d) {
+                        cur_d = d;
+                        cur = nb;
+                        changed = true;
+                    }
+                }
+            }
+        }
+        auto top = search_layer(q, cur, std::max(ef, k), 0);
+        std::sort(top.begin(), top.end(),
+                  [](const Candidate& a, const Candidate& b) {
+                      return a.dist < b.dist;
+                  });
+        for (int i = 0; i < k; ++i) {
+            if (i < int(top.size())) {
+                out_idx[i] = top[i].id;
+                out_ip[i] = -top[i].dist;
+            } else {
+                out_idx[i] = -1;
+                out_ip[i] = 0.f;
+            }
+        }
+    }
+
+    size_t memory_bytes() const {
+        size_t b = vectors_.size() * sizeof(float);
+        for (const auto& per_node : neighbors_)
+            for (const auto& layer : per_node)
+                b += layer.size() * sizeof(int32_t) + sizeof(layer);
+        b += levels_.size() * sizeof(int);
+        return b;
+    }
+
+    bool save(const char* path) const {
+        FILE* f = std::fopen(path, "wb");
+        if (!f) return false;
+        int32_t header[5] = {int32_t(0x484E5357), dim_, M_, efc_, size()};
+        std::fwrite(header, sizeof(header), 1, f);
+        int32_t meta[2] = {entry_, max_level_};
+        std::fwrite(meta, sizeof(meta), 1, f);
+        std::fwrite(vectors_.data(), sizeof(float), vectors_.size(), f);
+        std::fwrite(levels_.data(), sizeof(int), levels_.size(), f);
+        for (const auto& per_node : neighbors_) {
+            int32_t nl = int32_t(per_node.size());
+            std::fwrite(&nl, sizeof(nl), 1, f);
+            for (const auto& layer : per_node) {
+                int32_t cnt = int32_t(layer.size());
+                std::fwrite(&cnt, sizeof(cnt), 1, f);
+                std::fwrite(layer.data(), sizeof(int32_t), layer.size(), f);
+            }
+        }
+        std::fclose(f);
+        return true;
+    }
+
+    static HNSW* load(const char* path) {
+        FILE* f = std::fopen(path, "rb");
+        if (!f) return nullptr;
+        int32_t header[5];
+        if (std::fread(header, sizeof(header), 1, f) != 1 ||
+            header[0] != int32_t(0x484E5357)) {
+            std::fclose(f);
+            return nullptr;
+        }
+        HNSW* h = new HNSW(header[1], header[2], header[3], 0);
+        int n = header[4];
+        int32_t meta[2];
+        if (std::fread(meta, sizeof(meta), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+        h->entry_ = meta[0];
+        h->max_level_ = meta[1];
+        h->vectors_.resize(size_t(n) * h->dim_);
+        h->levels_.resize(n);
+        if (n) {
+            if (std::fread(h->vectors_.data(), sizeof(float), h->vectors_.size(), f) != h->vectors_.size() ||
+                std::fread(h->levels_.data(), sizeof(int), n, f) != size_t(n)) {
+                std::fclose(f); delete h; return nullptr;
+            }
+        }
+        h->neighbors_.resize(n);
+        for (int i = 0; i < n; ++i) {
+            int32_t nl;
+            if (std::fread(&nl, sizeof(nl), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+            h->neighbors_[i].resize(nl);
+            for (int l = 0; l < nl; ++l) {
+                int32_t cnt;
+                if (std::fread(&cnt, sizeof(cnt), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+                h->neighbors_[i][l].resize(cnt);
+                if (cnt && std::fread(h->neighbors_[i][l].data(), sizeof(int32_t), cnt, f) != size_t(cnt)) {
+                    std::fclose(f); delete h; return nullptr;
+                }
+            }
+        }
+        std::fclose(f);
+        return h;
+    }
+
+  private:
+    // Alg. 4 neighbor selection: greedy diversity filter over candidates
+    // sorted by distance ascending.
+    std::vector<Candidate> select_heuristic(const std::vector<Candidate>& sorted,
+                                            int m) const {
+        std::vector<Candidate> out;
+        for (const Candidate& c : sorted) {
+            if (int(out.size()) >= m) break;
+            bool good = true;
+            for (const Candidate& s : out) {
+                if (dist(vec(c.id), vec(s.id)) < c.dist) {
+                    good = false;
+                    break;
+                }
+            }
+            if (good) out.push_back(c);
+        }
+        // backfill with closest skipped candidates if the filter was too
+        // aggressive (keeps degree near m; matches hnswlib behavior)
+        if (int(out.size()) < m) {
+            for (const Candidate& c : sorted) {
+                if (int(out.size()) >= m) break;
+                bool present = false;
+                for (const Candidate& s : out)
+                    if (s.id == c.id) { present = true; break; }
+                if (!present) out.push_back(c);
+            }
+        }
+        return out;
+    }
+
+    void prune(int32_t id, int layer, int cap) {
+        auto& nbrs = neighbors_[id][layer];
+        std::vector<Candidate> cands;
+        cands.reserve(nbrs.size());
+        for (int32_t nb : nbrs) cands.push_back({dist(vec(id), vec(nb)), nb});
+        std::sort(cands.begin(), cands.end(),
+                  [](const Candidate& a, const Candidate& b) {
+                      return a.dist < b.dist;
+                  });
+        auto selected = select_heuristic(cands, cap);
+        nbrs.clear();
+        for (const Candidate& s : selected) nbrs.push_back(s.id);
+    }
+
+    int dim_, M_, M0_, efc_;
+    double mult_;
+    std::mt19937_64 rng_;
+    std::uniform_real_distribution<double> uniform_{
+        std::nextafter(0.0, 1.0), 1.0};
+    int32_t entry_;
+    int max_level_;
+    std::vector<float> vectors_;
+    std::vector<int> levels_;
+    std::vector<std::vector<std::vector<int32_t>>> neighbors_;
+};
+
+}  // namespace
+
+extern "C" {
+
+void* hnsw_create(int dim, int M, int ef_construction, uint64_t seed) {
+    return new HNSW(dim, M, ef_construction, seed);
+}
+
+void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
+
+void hnsw_add_batch(void* h, int n, const float* vecs) {
+    HNSW* idx = static_cast<HNSW*>(h);
+    for (int i = 0; i < n; ++i) idx->add(vecs + size_t(i) * idx->dim());
+}
+
+void hnsw_search_batch(void* h, int nq, const float* queries, int k, int ef,
+                       int32_t* out_idx, float* out_ip) {
+    HNSW* idx = static_cast<HNSW*>(h);
+    for (int i = 0; i < nq; ++i)
+        idx->search(queries + size_t(i) * idx->dim(), k, ef,
+                    out_idx + size_t(i) * k, out_ip + size_t(i) * k);
+}
+
+int hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
+int hnsw_dim(void* h) { return static_cast<HNSW*>(h)->dim(); }
+uint64_t hnsw_memory_bytes(void* h) {
+    return static_cast<HNSW*>(h)->memory_bytes();
+}
+int hnsw_save(void* h, const char* path) {
+    return static_cast<HNSW*>(h)->save(path) ? 1 : 0;
+}
+void* hnsw_load(const char* path) { return HNSW::load(path); }
+
+}  // extern "C"

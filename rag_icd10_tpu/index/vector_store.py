@@ -119,6 +119,7 @@ class VectorStore:
         self._dev = None  # dict(corpus, weights, mask) of jax arrays
         self._semantic_dev = None
         self._semantic_vectors: Optional[np.ndarray] = None
+        self._hnsw = None  # native graph index (index_type == "HNSW")
         self._loaded = False
         self._searches = 0
         self._created_at = time.time()
@@ -235,12 +236,17 @@ class VectorStore:
         """Batched search: (B, D) query vectors -> per-query top_k hits,
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
         which handles one query; here B queries cost one device call)."""
+        q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+        if self.num_entities == 0:
+            return [[] for _ in range(q.shape[0])]
+        k_eff = min(max(top_k, 1), self.num_entities)
+        if self.config.index_type.upper() == "HNSW" or method == "hnsw":
+            # graph path runs host-side; no device residency required
+            return self._search_hnsw(q, k_eff)
         if not self._loaded:
             if not self.load_collection():
-                return [[] for _ in range(len(np.atleast_2d(query_vectors)))]
-        q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
+                return [[] for _ in range(q.shape[0])]
         b = q.shape[0]
-        k_eff = min(max(top_k, 1), self.num_entities)
         k_pad = _bucket_k(k_eff)
         b_pad = _next_pow2(b)
         q_pad = np.zeros((b_pad, self.dim), dtype=np.float32)
@@ -290,6 +296,59 @@ class VectorStore:
                         has_complication=bool(self.corpus.has_complication[j]),
                     )
                 )
+            out.append(hits)
+        return out
+
+    # ------------------------------------------------------------- HNSW
+
+    def build_hnsw(self, M: int = 16, ef_construction: int = 200):
+        """Build (or return) the native C++ graph index over the corpus —
+        the path for corpora beyond brute-force. Search applies the same
+        level-weight×resort post-pass the flat path fuses on device."""
+        if self._hnsw is not None and len(self._hnsw) == self.num_entities:
+            return self._hnsw
+        from .hnsw_index import HNSWIndex
+
+        idx = HNSWIndex(dim=self.dim, M=M, ef_construction=ef_construction)
+        idx.add(self._vectors)
+        self._hnsw = idx
+        return idx
+
+    def _search_hnsw(
+        self, q: np.ndarray, k_eff: int, ef_search: Optional[int] = None
+    ) -> List[List[SearchHit]]:
+        from ..config import HNSWConfig
+
+        hnsw_cfg = HNSWConfig()
+        idx = self.build_hnsw(M=hnsw_cfg.M, ef_construction=hnsw_cfg.ef_construction)
+        ips, ids = idx.search(q, k_eff, ef_search or hnsw_cfg.ef_search)
+        weights = self.corpus.level_weights(self.config.level_weights)
+        self._searches += q.shape[0]
+        out: List[List[SearchHit]] = []
+        for row_ips, row_ids in zip(ips, ids):
+            hits = []
+            for ip, j in zip(row_ips, row_ids):
+                j = int(j)
+                if j < 0:
+                    continue
+                w = float(weights[j]) or 1.0
+                hits.append(
+                    SearchHit(
+                        id=j,
+                        code=self.corpus.codes[j],
+                        preferred_zh=self.corpus.titles[j],
+                        score=float(ip) * w,
+                        original_score=float(ip),
+                        level=int(self.corpus.levels[j]),
+                        parent_code=self.corpus.parent_codes[j],
+                        category_path=self.corpus.category_paths[j],
+                        semantic_text=self.corpus.semantic_texts[j],
+                        main_code=self.corpus.main_codes[j],
+                        secondary_code=self.corpus.secondary_codes[j],
+                        has_complication=bool(self.corpus.has_complication[j]),
+                    )
+                )
+            hits.sort(key=lambda h: h.score, reverse=True)
             out.append(hits)
         return out
 
