@@ -142,6 +142,8 @@ class APIServer:
         app.router.add_get("/resource/status", self.resource_status)
         app.router.add_post("/resource/release", self.resource_release)
         app.router.add_post("/resource/reload", self.resource_reload)
+        app.router.add_post("/profiler/start", self.profiler_start)
+        app.router.add_post("/profiler/stop", self.profiler_stop)
         if STATIC_DIR.exists():
             app.router.add_get("/ui", self.ui_index)
             app.router.add_static("/ui/", str(STATIC_DIR))
@@ -343,6 +345,10 @@ class APIServer:
                 stats["llm"] = self.engine.llm.get_provider_info()
             if self.batcher is not None:
                 stats["batching"] = self.batcher.stats()
+            from ..utils.metrics import metrics, profiler
+
+            stats["stage_latency"] = metrics.snapshot()
+            stats["profiler_active"] = profiler.active
             stats["uptime_s"] = round(time.time() - self.engine.started_at, 1)
             return json_response(stats)
         except Exception as e:
@@ -435,6 +441,22 @@ class APIServer:
             )
         except Exception as e:
             return error_response(f"重新加载集合失败: {e}", 500)
+
+    async def profiler_start(self, request) -> web.Response:
+        from ..utils.metrics import profiler
+
+        try:
+            return json_response(profiler.start())
+        except Exception as e:
+            return error_response(f"profiler启动失败: {e}", 500)
+
+    async def profiler_stop(self, request) -> web.Response:
+        from ..utils.metrics import profiler
+
+        try:
+            return json_response(profiler.stop())
+        except Exception as e:
+            return error_response(f"profiler停止失败: {e}", 500)
 
     async def ui_index(self, request) -> web.Response:
         index = STATIC_DIR / "index.html"

@@ -140,10 +140,15 @@ class MultiDiagnosisService:
         processes requests and sub-diagnoses strictly sequentially,
         multi_diagnosis_service.py:98-103).
         """
+        from ..utils.metrics import metrics
+
         per_text: List[Dict[str, Any]] = []
         flat_diagnoses: List[str] = []
-        for text in texts:
-            enhanced = self.text_processor.extract_diagnoses_enhanced(text)
+        with metrics.timer("extract"):
+            extracted = [
+                self.text_processor.extract_diagnoses_enhanced(t) for t in texts
+            ]
+        for text, enhanced in zip(texts, extracted):
             diagnoses = [
                 d.get("diagnosis_text", d.get("text", "")) for d in enhanced
             ]
@@ -164,8 +169,10 @@ class MultiDiagnosisService:
 
         # === the batched hot path: ONE encode, ONE fused search ===
         if flat_diagnoses:
-            query_vecs = np.asarray(self.encoder.encode_queries(flat_diagnoses))
-            all_hits = self.store.search(query_vecs, top_k * self.overfetch)
+            with metrics.timer("encode"):
+                query_vecs = np.asarray(self.encoder.encode_queries(flat_diagnoses))
+            with metrics.timer("search"):
+                all_hits = self.store.search(query_vecs, top_k * self.overfetch)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
 
@@ -189,13 +196,14 @@ class MultiDiagnosisService:
                 continue
             matches: List[DiagnosisMatch] = []
             total_candidates = 0
-            for j, diagnosis in enumerate(diagnoses):
-                idx = info["offset"] + j
-                match = self._rescore_single(
-                    diagnosis, query_vecs[idx], all_hits[idx], top_k
-                )
-                matches.append(match)
-                total_candidates += len(match.candidates)
+            with metrics.timer("rescore"):
+                for j, diagnosis in enumerate(diagnoses):
+                    idx = info["offset"] + j
+                    match = self._rescore_single(
+                        diagnosis, query_vecs[idx], all_hits[idx], top_k
+                    )
+                    matches.append(match)
+                    total_candidates += len(match.candidates)
             results.append(
                 {
                     "original_text": info["text"],

@@ -104,7 +104,7 @@ class Engine:
             )
         return self.matcher
 
-    def startup(self, test_llm: bool = False) -> None:
+    def startup(self, test_llm: bool = False, warmup: bool = True) -> None:
         """Full init in the reference's order; LLM test is non-fatal
         (main.py:69-89)."""
         self.init_encoder()
@@ -116,6 +116,23 @@ class Engine:
             except Exception as e:
                 self.llm_status = {"connected": False, "error": str(e)}
         self.init_matcher()
+        if warmup and self.store.num_entities:
+            self.warmup()
+
+    def warmup(self) -> None:
+        """Pre-compile the serving shapes (encoder buckets, search k/batch
+        grid) so the first user request doesn't pay minutes of XLA
+        compiles. Representative requests cover single- and
+        multi-diagnosis paths."""
+        t0 = time.time()
+        logger.info("warmup: compiling serving shapes...")
+        try:
+            for text in ("急性胃肠炎", "急性胃肠炎，高血压病3级，2型糖尿病"):
+                for top_k in (5, 10):
+                    self.matcher.match_many_texts([text], top_k=top_k)
+        except Exception as e:
+            logger.warning("warmup failed (continuing): %s", e)
+        logger.info("warmup done in %.0fs", time.time() - t0)
 
     def shutdown(self) -> None:
         """Cleanup (reference: main.py:118-226): release device memory,
