@@ -34,7 +34,7 @@ def main() -> None:
     enable_compile_cache()
     cfg = get_config()
 
-    B, K, ITERS = 64, 10, 100
+    B, K, ITERS = 256, 10, 100
     DIM = 768
 
     # corpus: persisted store if available, else real CSV, else synthetic
@@ -60,12 +60,16 @@ def main() -> None:
     wd, md = jax.device_put(wp), jax.device_put(mask)
     qd = jax.device_put(queries)
 
+    from rag_icd10_tpu.ops.pallas_score import default_tile_n
+
+    tile_n = default_tile_n(B, cp.shape[0])
+
     @partial(jax.jit, static_argnames=("iters",))
     def chained(q, corpus, w, m, iters=ITERS):
         def body(carry, _):
             qq = q + carry[:, :1] * 1e-6  # data dependence defeats CSE
             if on_tpu:
-                s = fused_weighted_scores(qq, corpus, w, m, tile_n=2048)
+                s = fused_weighted_scores(qq, corpus, w, m, tile_n=tile_n)
             else:
                 s = jnp.dot(qq, corpus.T, preferred_element_type=jnp.float32)
                 s = s * w[None, :] + m[None, :]

@@ -63,15 +63,6 @@ def _next_pow2(n: int, lo: int = 8) -> int:
     return p
 
 
-def _tile_n(n_padded: int, cap: int = 2048) -> int:
-    """Largest power-of-two corpus tile <= cap dividing the padded row
-    count (pad_multiple must be a multiple of 128)."""
-    t = cap
-    while t > 128 and n_padded % t:
-        t //= 2
-    return t
-
-
 @dataclass
 class SearchHit:
     """One search result row (fields per reference schema,
@@ -258,7 +249,7 @@ class VectorStore:
                 self._dev["weights"],
                 self._dev["mask"],
                 k=k_pad,
-                tile_n=_tile_n(self._dev["corpus"].shape[0]),
+                tile_n=0,  # auto-size to VMEM budget
                 method=method,
             )
         else:

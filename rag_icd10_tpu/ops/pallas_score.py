@@ -40,6 +40,19 @@ def _make_score_kernel(precision):
     return _score_kernel
 
 
+def default_tile_n(batch: int, n: int, dtype_bytes: int = 4, cap: int = 2048) -> int:
+    """Largest corpus tile whose double-buffered VMEM footprint
+    (2 corpus tiles + 2 output blocks + query block) stays under ~13 MB."""
+    budget = 13 * 1024 * 1024 - batch * 768 * dtype_bytes
+    tile = cap
+    while tile > 128:
+        need = 2 * tile * 768 * dtype_bytes + 2 * batch * tile * 4
+        if need <= budget and n % tile == 0:
+            break
+        tile //= 2
+    return tile
+
+
 @partial(jax.jit, static_argnames=("tile_n", "exact"))
 def fused_weighted_scores(
     queries: jnp.ndarray,
@@ -94,11 +107,17 @@ def fused_search(
     weights: jnp.ndarray,
     mask: jnp.ndarray,
     k: int,
-    tile_n: int = 2048,
+    tile_n: int = 0,
     method: str = "exact",
     exact: bool = True,
 ):
-    """Fused Pallas scoring + top-k. Returns (values, indices)."""
+    """Fused Pallas scoring + top-k. Returns (values, indices).
+
+    tile_n=0 auto-sizes the corpus tile to the VMEM budget."""
+    if tile_n == 0:
+        tile_n = default_tile_n(
+            queries.shape[0], corpus.shape[0], corpus.dtype.itemsize
+        )
     scores = fused_weighted_scores(
         queries, corpus, weights, mask, tile_n=tile_n, exact=exact
     )
