@@ -144,6 +144,8 @@ class APIServer:
         app.router.add_post("/resource/reload", self.resource_reload)
         app.router.add_post("/profiler/start", self.profiler_start)
         app.router.add_post("/profiler/stop", self.profiler_stop)
+        app.router.add_get("/docs", self.docs)
+        app.router.add_get("/openapi.json", self.openapi)
         if STATIC_DIR.exists():
             app.router.add_get("/ui", self.ui_index)
             app.router.add_static("/ui/", str(STATIC_DIR))
@@ -441,6 +443,16 @@ class APIServer:
             )
         except Exception as e:
             return error_response(f"重新加载集合失败: {e}", 500)
+
+    async def docs(self, request) -> web.Response:
+        from .docs import docs_html
+
+        return web.Response(text=docs_html(), content_type="text/html")
+
+    async def openapi(self, request) -> web.Response:
+        from .docs import openapi_spec
+
+        return json_response(openapi_spec())
 
     async def profiler_start(self, request) -> web.Response:
         from ..utils.metrics import profiler
