@@ -12,6 +12,7 @@ serializing it through one thread also guarantees jit-cache friendliness.
 from __future__ import annotations
 
 import asyncio
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional
 
@@ -38,6 +39,11 @@ class RequestBatcher:
         self.max_batch = max_batch
         self.queue: "asyncio.Queue[_Pending]" = asyncio.Queue()
         self._task: Optional[asyncio.Task] = None
+        # dedicated single worker thread: serializes device work (jit-cache
+        # friendly) and can be abandoned on shutdown without hanging the
+        # event loop's default executor (a SIGTERM during an in-flight XLA
+        # compile must not wedge process teardown)
+        self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batcher")
         self.batches_served = 0
         self.requests_served = 0
 
@@ -53,6 +59,8 @@ class RequestBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # don't wait for an in-flight device call; drop it
+        self._executor.shutdown(wait=False, cancel_futures=True)
 
     async def submit(self, text: str, top_k: int) -> Dict[str, Any]:
         loop = asyncio.get_event_loop()
@@ -80,7 +88,7 @@ class RequestBatcher:
             texts = [p.text for p in batch]
             try:
                 results = await asyncio.get_event_loop().run_in_executor(
-                    None, self.matcher_fn, texts, top_k
+                    self._executor, self.matcher_fn, texts, top_k
                 )
                 for pending, result in zip(batch, results):
                     if pending.top_k < top_k:

@@ -129,6 +129,11 @@ class StoreConfig:
     # (milvus_service.py:33-34,190-194); HNSW supported as a second path.
     index_type: str = field(default_factory=lambda: _env("INDEX_TYPE", "FLAT"))
     metric_type: str = "IP"
+    # top-k method on the flat path: "exact" (lax.top_k) or "approx"
+    # (lax.approx_max_k — ~4x faster selection at recall ~1.0 for k<=16)
+    search_method: str = field(
+        default_factory=lambda: _env("SEARCH_METHOD", "exact")
+    )
     # Level weights applied at search time and re-sorted
     # (milvus_service.py:292-316,550-558).
     level_weights: tuple = (1.2, 1.0, 0.8)  # levels 1,2,3

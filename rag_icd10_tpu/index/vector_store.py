@@ -222,11 +222,12 @@ class VectorStore:
         self,
         query_vectors: np.ndarray,
         top_k: int = 5,
-        method: str = "exact",
+        method: Optional[str] = None,
     ) -> List[List[SearchHit]]:
         """Batched search: (B, D) query vectors -> per-query top_k hits,
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
         which handles one query; here B queries cost one device call)."""
+        method = method or self.config.search_method
         q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
         if self.num_entities == 0:
             return [[] for _ in range(q.shape[0])]

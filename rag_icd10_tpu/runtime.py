@@ -45,11 +45,27 @@ class Engine:
 
     # ----------------------------------------------------------- builders
 
+    def _encoder_sidecar(self) -> dict:
+        """The builder records which encoder produced the persisted store
+        (<db>.encoder.json); serving defaults to those weights so queries
+        and corpus vectors can never silently mismatch."""
+        import json
+
+        path = Path(str(self.config.store.db_path) + ".encoder.json")
+        if path.exists():
+            try:
+                return json.loads(path.read_text())
+            except (OSError, json.JSONDecodeError):
+                pass
+        return {}
+
     def _tokenizer(self) -> WordPieceTokenizer:
         cfg = self.config
-        vocab_path = cfg.encoder.vocab_path or str(
-            Path(cfg.store.db_path).with_suffix("")
-        ) + ".vocab.txt"
+        vocab_path = (
+            cfg.encoder.vocab_path
+            or self._encoder_sidecar().get("vocab_path")
+            or str(Path(cfg.store.db_path).with_suffix("")) + ".vocab.txt"
+        )
         if Path(vocab_path).exists():
             return WordPieceTokenizer.from_vocab_file(vocab_path)
         corpus = load_corpus(cfg.data_path)
@@ -62,8 +78,26 @@ class Engine:
 
     def init_encoder(self) -> TextEncoder:
         if self.encoder is None:
-            logger.info("initializing encoder (%s)", self.config.encoder.model_name)
-            self.encoder = TextEncoder(self.config.encoder, tokenizer=self._tokenizer())
+            cfg = self.config.encoder
+            sidecar = self._encoder_sidecar()
+            if not cfg.weights_path and sidecar.get("weights_path"):
+                if Path(sidecar["weights_path"]).exists():
+                    import dataclasses
+
+                    logger.info(
+                        "using store's encoder weights: %s", sidecar["weights_path"]
+                    )
+                    cfg = dataclasses.replace(
+                        cfg, weights_path=sidecar["weights_path"]
+                    )
+                else:
+                    logger.warning(
+                        "store was built with weights %s which no longer "
+                        "exist — queries may mismatch the corpus vectors",
+                        sidecar["weights_path"],
+                    )
+            logger.info("initializing encoder (%s)", cfg.model_name)
+            self.encoder = TextEncoder(cfg, tokenizer=self._tokenizer())
         return self.encoder
 
     def init_store(self, load: bool = True) -> VectorStore:

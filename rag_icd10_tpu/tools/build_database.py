@@ -109,6 +109,17 @@ class DatabaseBuilder:
         store = VectorStore(dim=encoder.dim, config=cfg.store)
         store.insert_records(list(corpus.records()), vectors)
         store.save(base)
+        # record which encoder produced these vectors so serving can't
+        # silently pair the store with mismatched weights
+        import json
+
+        encoder_sidecar = {
+            "weights_path": cfg.encoder.weights_path,
+            "vocab_path": cfg.encoder.vocab_path
+            or str(Path(base).with_suffix("")) + ".vocab.txt",
+            "model_name": cfg.encoder.model_name,
+        }
+        Path(str(base) + ".encoder.json").write_text(json.dumps(encoder_sidecar))
         logger.info("store persisted to %s", base)
         store.load_collection()
         return self.verify_database(store=store, encoder=encoder)
