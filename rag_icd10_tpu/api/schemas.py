@@ -94,6 +94,23 @@ class StandardizeResponse(BaseModel):
     results: List[Any] = Field(default_factory=list)
 
 
+class MultiDiagnosisRequest(BaseModel):
+    """(reference: models/icd_models.py:195-199)"""
+
+    text: str = Field(..., description="包含多个诊断的文本", min_length=1)
+    top_k: int = Field(default=5, description="每个诊断返回候选数量", ge=1, le=20)
+    separator: Optional[str] = Field(default=None, description="分隔符，空则自动识别")
+
+
+class MultiDiagnosisResponse(BaseModel):
+    """(reference: models/icd_models.py:202-207)"""
+
+    original_text: str = Field(...)
+    extracted_diagnoses: List[str] = Field(...)
+    matches: List[DiagnosisMatch] = Field(...)
+    total_matches: int = Field(...)
+
+
 class EmbeddingRequest(BaseModel):
     texts: List[str] = Field(..., description="要向量化的文本列表")
 

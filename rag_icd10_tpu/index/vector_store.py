@@ -108,7 +108,6 @@ class VectorStore:
         self._vectors: Optional[np.ndarray] = None  # host (N, D) fp32
         # device-resident state (set by load_collection)
         self._dev = None  # dict(corpus, weights, mask) of jax arrays
-        self._semantic_dev = None
         self._semantic_vectors: Optional[np.ndarray] = None
         self._hnsw = None  # native graph index (index_type == "HNSW")
         self._loaded = False
@@ -190,18 +189,12 @@ class VectorStore:
             "weights": jax.device_put(wp),
             "mask": jax.device_put(m),
         }
-        if self._semantic_vectors is not None:
-            sp, _, _ = pad_corpus(
-                self._semantic_vectors, weights, multiple=self.config.pad_multiple
-            )
-            self._semantic_dev = jax.device_put(sp)
         self._loaded = True
         return True
 
     def release_collection(self) -> bool:
         """Drop device arrays (reference analog: milvus_service.py:411)."""
         self._dev = None
-        self._semantic_dev = None
         self._loaded = False
         return True
 
@@ -424,6 +417,8 @@ class VectorStore:
             arrays["semantic_vectors"] = self._semantic_vectors
         np.savez(str(base) + ".npz", **arrays)
         self.corpus.to_json(str(base) + ".meta.json")
+        if self._hnsw is not None:
+            self._hnsw.save(str(base) + ".hnsw")
         manifest = {
             "collection_name": self.config.collection_name,
             "dim": self.dim,
@@ -445,6 +440,14 @@ class VectorStore:
         if "semantic_vectors" in data:
             store._semantic_vectors = data["semantic_vectors"]
         store.corpus = ICDCorpus.from_json(path + ".meta.json")
+        hnsw_path = Path(path + ".hnsw")
+        if hnsw_path.exists():
+            try:
+                from .hnsw_index import HNSWIndex
+
+                store._hnsw = HNSWIndex.load(str(hnsw_path))
+            except Exception:
+                store._hnsw = None  # rebuilt lazily on demand
         return store
 
     @staticmethod
