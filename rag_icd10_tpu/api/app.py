@@ -247,25 +247,36 @@ class APIServer:
             loop = asyncio.get_event_loop()
             llm = self.engine.llm
             if len(extracted) > 1:
-                groups = []
-                for m in matches:
-                    cands = [
+                # per-diagnosis LLM calls are independent HTTP requests —
+                # issue them concurrently (the reference loops them
+                # sequentially, main.py:416-452)
+                cands_per_match = [
+                    [
                         {"code": c.code, "title": c.title, "score": float(c.score)}
                         for c in m.candidates
                     ]
-                    llm_results = await loop.run_in_executor(
-                        None, llm.standardize_diagnosis, m.diagnosis_text, cands,
-                        req.llm_provider,
+                    for m in matches
+                ]
+                llm_tasks = [
+                    loop.run_in_executor(
+                        None, llm.standardize_diagnosis, m.diagnosis_text,
+                        cands, req.llm_provider,
                     )
-                    groups.append(
-                        {
-                            "diagnosis_text": m.diagnosis_text,
-                            "match_confidence": m.match_confidence,
-                            "confidence_level": m.confidence_level,
-                            "standardized_results": llm_results,
-                            "candidates": cands,
-                        }
+                    for m, cands in zip(matches, cands_per_match)
+                ]
+                llm_results_all = await asyncio.gather(*llm_tasks)
+                groups = [
+                    {
+                        "diagnosis_text": m.diagnosis_text,
+                        "match_confidence": m.match_confidence,
+                        "confidence_level": m.confidence_level,
+                        "standardized_results": llm_results,
+                        "candidates": cands,
+                    }
+                    for m, cands, llm_results in zip(
+                        matches, cands_per_match, llm_results_all
                     )
+                ]
                 results = [
                     {
                         "is_multi_diagnosis": True,

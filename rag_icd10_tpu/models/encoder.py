@@ -18,7 +18,6 @@ TPU-first differences:
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import jax

@@ -13,8 +13,7 @@ same code to 100M+ rows on a pod slice.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -32,7 +32,7 @@ Behavioral spec (reference: services/hierarchical_similarity_service.py):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -23,7 +23,7 @@ string-feature rescoring runs per-diagnosis on the small top-k slice.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import numpy as np

@@ -15,7 +15,7 @@ from pathlib import Path
 from typing import Optional
 
 from .config import Config, get_config
-from .data.corpus import ICDCorpus, load_corpus
+from .data.corpus import load_corpus
 from .index.vector_store import VectorStore
 from .models.encoder import TextEncoder
 from .models.tokenizer import WordPieceTokenizer

@@ -29,7 +29,7 @@ from typing import Optional
 import numpy as np
 
 from ..config import Config, get_config
-from ..data.corpus import ICDCorpus, load_corpus, synthetic_corpus
+from ..data.corpus import ICDCorpus, synthetic_corpus
 from ..index.vector_store import VectorStore
 from ..models.encoder import TextEncoder
 from ..models.tokenizer import WordPieceTokenizer

@@ -11,9 +11,7 @@ mirrors gradio_app.py:33-46.
 
 from __future__ import annotations
 
-import asyncio
 import logging
-import signal
 import socket
 from pathlib import Path
 

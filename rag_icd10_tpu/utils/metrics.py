@@ -14,7 +14,7 @@ import threading
 import time
 from collections import deque
 from contextlib import contextmanager
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
