@@ -134,6 +134,11 @@ class StoreConfig:
     search_method: str = field(
         default_factory=lambda: _env("SEARCH_METHOD", "exact")
     )
+    # device residency dtype for the corpus matrix: float32 (exact) or
+    # bfloat16 (half the HBM, ~3e-3 relative score error)
+    device_dtype: str = field(
+        default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
+    )
     # Level weights applied at search time and re-sorted
     # (milvus_service.py:292-316,550-558).
     level_weights: tuple = (1.2, 1.0, 0.8)  # levels 1,2,3

@@ -184,6 +184,10 @@ class VectorStore:
         cp, wp, m = pad_corpus(
             self._vectors, weights, multiple=self.config.pad_multiple
         )
+        if self.config.device_dtype == "bfloat16":
+            import jax.numpy as jnp
+
+            cp = cp.astype(jnp.bfloat16)
         self._dev = {
             "corpus": jax.device_put(cp),
             "weights": jax.device_put(wp),
@@ -381,6 +385,7 @@ class VectorStore:
             "estimated_vector_memory_bytes": vector_bytes,
             "estimated_vector_memory_mb": round(vector_bytes / 1024 / 1024, 2),
             "device_resident": self._loaded,
+            "device_dtype": self.config.device_dtype,
         }
 
     def health_check(self) -> Dict:
