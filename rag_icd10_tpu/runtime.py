@@ -54,7 +54,17 @@ class Engine:
         path = Path(str(self.config.store.db_path) + ".encoder.json")
         if path.exists():
             try:
-                return json.loads(path.read_text())
+                sidecar = json.loads(path.read_text())
+                # older sidecars may hold relative paths; resolve them
+                # against the store's parent directory's parent (repo root
+                # convention: db/... lives next to the store)
+                for key in ("weights_path", "vocab_path"):
+                    p = sidecar.get(key)
+                    if p and not Path(p).is_absolute() and not Path(p).exists():
+                        candidate = path.parent.parent / p
+                        if candidate.exists():
+                            sidecar[key] = str(candidate)
+                return sidecar
             except (OSError, json.JSONDecodeError):
                 pass
         return {}

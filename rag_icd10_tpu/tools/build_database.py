@@ -113,10 +113,15 @@ class DatabaseBuilder:
         # silently pair the store with mismatched weights
         import json
 
+        def _abs(p):
+            return str(Path(p).resolve()) if p else p
+
         encoder_sidecar = {
-            "weights_path": cfg.encoder.weights_path,
-            "vocab_path": cfg.encoder.vocab_path
-            or str(Path(base).with_suffix("")) + ".vocab.txt",
+            "weights_path": _abs(cfg.encoder.weights_path),
+            "vocab_path": _abs(
+                cfg.encoder.vocab_path
+                or str(Path(base).with_suffix("")) + ".vocab.txt"
+            ),
             "model_name": cfg.encoder.model_name,
         }
         Path(str(base) + ".encoder.json").write_text(json.dumps(encoder_sidecar))
