@@ -136,12 +136,19 @@ class SemanticBoundaryDetector:
     # ---------------------------------------------------------- confidence
 
     def get_boundary_confidence(
-        self, boundaries: List[Tuple[int, int, str]]
+        self,
+        boundaries: List[Tuple[int, int, str]],
+        embeddings: Optional[np.ndarray] = None,
     ) -> List[float]:
+        """``embeddings`` may carry precomputed segment embeddings (one
+        row per boundary) so callers can batch the encode across many
+        texts (see EnhancedTextProcessor.extract_many)."""
         texts = [b[2] for b in boundaries]
-        # one batched encode for all inter-segment similarities
         sims: Optional[np.ndarray] = None
-        if self.encoder is not None and len(texts) > 1:
+        if embeddings is not None and len(texts) > 1:
+            embs = np.asarray(embeddings)
+            sims = np.sum(embs[:-1] * embs[1:], axis=1)
+        elif self.encoder is not None and len(texts) > 1:
             try:
                 embs = np.asarray(self.encoder.encode_queries(texts))
                 sims = np.sum(embs[:-1] * embs[1:], axis=1)  # consecutive cos

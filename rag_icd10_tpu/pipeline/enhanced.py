@@ -23,6 +23,8 @@ from __future__ import annotations
 import re
 from typing import Any, Dict, List, Optional, Tuple
 
+import numpy as np
+
 from .boundary import SemanticBoundaryDetector
 from .ner import MedicalNERService
 
@@ -88,6 +90,68 @@ class EnhancedTextProcessor:
             return self._filter_and_rank(fused)
         except Exception:
             return self._fallback_extraction(text)
+
+    def extract_many(
+        self, texts: List[str], filter_drugs: bool = True
+    ) -> List[List[Dict[str, Any]]]:
+        """Batched extraction: the boundary-confidence embeddings for ALL
+        texts are computed in ONE encoder call instead of one device
+        round-trip per text (the serving hot path; a 32-request batch
+        otherwise pays 32 dispatch latencies)."""
+        if not texts:
+            return []
+        prepared = []
+        all_segments: List[str] = []
+        for text in texts:
+            if not text or not text.strip():
+                prepared.append(None)
+                continue
+            try:
+                entities = self.ner_service.extract_medical_entities(
+                    text, filter_drugs=filter_drugs
+                )
+                if self.config["use_semantic_boundary"] and self.encoder is not None:
+                    boundaries = self.boundary_detector.detect_diagnosis_boundaries(
+                        text
+                    )
+                else:
+                    boundaries = self._simple_boundary_detection(text)
+                offset = len(all_segments)
+                if len(boundaries) > 1:
+                    all_segments.extend(b[2] for b in boundaries)
+                prepared.append((text, entities, boundaries, offset))
+            except Exception:
+                prepared.append(("__fallback__", text))
+        embs = None
+        if all_segments and self.encoder is not None:
+            try:
+                embs = np.asarray(self.encoder.encode_queries(all_segments))
+            except Exception:
+                embs = None
+        results: List[List[Dict[str, Any]]] = []
+        for item in prepared:
+            if item is None:
+                results.append([])
+                continue
+            if item[0] == "__fallback__":
+                results.append(self._fallback_extraction(item[1]))
+                continue
+            text, entities, boundaries, offset = item
+            if len(boundaries) > 1 and embs is not None:
+                seg_embs = embs[offset : offset + len(boundaries)]
+                confs = self.boundary_detector.get_boundary_confidence(
+                    boundaries, embeddings=seg_embs
+                )
+            elif self.config["use_semantic_boundary"] and self.encoder is not None:
+                confs = self.boundary_detector.get_boundary_confidence(boundaries)
+            else:
+                confs = [0.5] * len(boundaries)
+            try:
+                fused = self._fuse(text, entities, boundaries, confs)
+                results.append(self._filter_and_rank(fused))
+            except Exception:
+                results.append(self._fallback_extraction(text))
+        return results
 
     def extract_diagnoses_simple(self, text: str) -> List[str]:
         return [r["text"] for r in self.extract_diagnoses_enhanced(text)]

@@ -145,9 +145,12 @@ class MultiDiagnosisService:
         per_text: List[Dict[str, Any]] = []
         flat_diagnoses: List[str] = []
         with metrics.timer("extract"):
-            extracted = [
-                self.text_processor.extract_diagnoses_enhanced(t) for t in texts
-            ]
+            if hasattr(self.text_processor, "extract_many_enhanced"):
+                extracted = self.text_processor.extract_many_enhanced(texts)
+            else:
+                extracted = [
+                    self.text_processor.extract_diagnoses_enhanced(t) for t in texts
+                ]
         for text, enhanced in zip(texts, extracted):
             diagnoses = [
                 d.get("diagnosis_text", d.get("text", "")) for d in enhanced

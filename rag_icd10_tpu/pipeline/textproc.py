@@ -102,6 +102,16 @@ class DiagnosisTextProcessor:
             for d in split_simple(text)
         ]
 
+    def extract_many_enhanced(self, texts: List[str]) -> List[List[Dict]]:
+        """Batched extraction: one encoder call for all texts' boundary
+        embeddings (serving hot path). Falls back to per-text extraction."""
+        if self.use_enhanced_processing and self._enhanced is not None:
+            try:
+                return self._enhanced.extract_many(texts)
+            except Exception:
+                pass
+        return [self.extract_diagnoses_enhanced(t) for t in texts]
+
     def is_multi_diagnosis(self, text: str) -> bool:
         return len(self.extract_diagnoses(text)) > 1
 

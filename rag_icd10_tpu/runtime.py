@@ -174,6 +174,11 @@ class Engine:
             for text in ("急性胃肠炎", "急性胃肠炎，高血压病3级，2型糖尿病"):
                 for top_k in (5, 10):
                     self.matcher.match_many_texts([text], top_k=top_k)
+            # coalesced-batch shapes (the server merges up to max_batch
+            # concurrent requests into one device batch)
+            batch = ["急性胃肠炎", "高血压病3级", "疑似肺部感染", "2型糖尿病"] * 8
+            for top_k in (5, 10):
+                self.matcher.match_many_texts(batch, top_k=top_k)
         except Exception as e:
             logger.warning("warmup failed (continuing): %s", e)
         logger.info("warmup done in %.0fs", time.time() - t0)
