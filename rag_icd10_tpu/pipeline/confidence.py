@@ -197,6 +197,7 @@ class MultiDimensionalConfidenceService:
         candidate_records: List[Dict[str, Any]],
         similarity_factors: Optional[Dict] = None,
         query_vec: Optional[np.ndarray] = None,
+        query_entities: Optional[Dict] = None,
     ) -> Tuple[ConfidenceMetrics, ConfidenceFactors]:
         try:
             factors = ConfidenceFactors()
@@ -223,12 +224,12 @@ class MultiDimensionalConfidenceService:
                     query_text, candidate_text
                 )
                 factors.terminology_accuracy = self._terminology_accuracy(
-                    query_text, candidate_text
+                    query_text, candidate_text, query_entities=query_entities
                 )
                 factors.clinical_relevance = self._clinical_relevance(query_text, best)
             factors.diagnosis_complexity = self._diagnosis_complexity(query_text)
             factors.professional_specificity = self._professional_specificity(
-                query_text
+                query_text, query_entities=query_entities
             )
             factors.data_quality = self._data_quality(candidate_records)
             factors.model_uncertainty = self._model_uncertainty(candidate_records)
@@ -324,16 +325,32 @@ class MultiDimensionalConfidenceService:
                 terms[m] = 0.0  # weights filled by caller
         return terms
 
-    def _terminology_accuracy(self, query_text: str, candidate_text: str) -> float:
+    def _terminology_accuracy(
+        self,
+        query_text: str,
+        candidate_text: str,
+        query_entities: Optional[Dict] = None,
+    ) -> float:
         try:
             if self.ner_service is not None:
-                return self._terminology_accuracy_ner(query_text, candidate_text)
+                return self._terminology_accuracy_ner(
+                    query_text, candidate_text, query_entities
+                )
             return self._terminology_accuracy_fallback(query_text, candidate_text)
         except Exception:
             return 0.5
 
-    def _terminology_accuracy_ner(self, query_text: str, candidate_text: str) -> float:
-        q_ents = self.ner_service.extract_medical_entities(query_text)
+    def _terminology_accuracy_ner(
+        self,
+        query_text: str,
+        candidate_text: str,
+        query_entities: Optional[Dict] = None,
+    ) -> float:
+        q_ents = (
+            query_entities
+            if query_entities is not None
+            else self.ner_service.extract_medical_entities(query_text)
+        )
         c_ents = self.ner_service.extract_medical_entities(candidate_text)
         total, matched = 0.0, 0.0
         for etype, entities in q_ents.items():
@@ -392,10 +409,16 @@ class MultiDimensionalConfidenceService:
             score += min(separators * 0.2, 0.6)
         return min(score, 1.0)
 
-    def _professional_specificity(self, query_text: str) -> float:
+    def _professional_specificity(
+        self, query_text: str, query_entities: Optional[Dict] = None
+    ) -> float:
         try:
             if self.ner_service is not None:
-                entities = self.ner_service.extract_medical_entities(query_text)
+                entities = (
+                    query_entities
+                    if query_entities is not None
+                    else self.ner_service.extract_medical_entities(query_text)
+                )
                 if any(entities.values()):
                     total, ssum = 0.0, 0.0
                     for etype, elist in entities.items():

@@ -282,7 +282,11 @@ class MultiDiagnosisService:
                     "entity_match_score": f0.entity_match_score,
                 }
             metrics, factors = self.confidence_service.calculate_comprehensive_confidence(
-                diagnosis, candidate_records, similarity_factors=sf, query_vec=query_vec
+                diagnosis,
+                candidate_records,
+                similarity_factors=sf,
+                query_vec=query_vec,
+                query_entities=query_entities,
             )
             match_confidence = float(metrics.overall_confidence)
             return DiagnosisMatch(

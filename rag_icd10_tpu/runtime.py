@@ -175,10 +175,14 @@ class Engine:
                 for top_k in (5, 10):
                     self.matcher.match_many_texts([text], top_k=top_k)
             # coalesced-batch shapes (the server merges up to max_batch
-            # concurrent requests into one device batch)
-            batch = ["急性胃肠炎", "高血压病3级", "疑似肺部感染", "2型糖尿病"] * 8
-            for top_k in (5, 10):
-                self.matcher.match_many_texts(batch, top_k=top_k)
+            # concurrent requests into one device batch); cover the pow2
+            # batch-row buckets the batcher can produce
+            seeds = ["急性胃肠炎", "高血压病3级", "疑似肺部感染", "2型糖尿病",
+                     "慢性阻塞性肺疾病急性加重，冠状动脉粥样硬化性心脏病"]
+            for size in (8, 32, 64):
+                batch = (seeds * ((size // len(seeds)) + 1))[:size]
+                for top_k in (5, 10):
+                    self.matcher.match_many_texts(batch, top_k=top_k)
         except Exception as e:
             logger.warning("warmup failed (continuing): %s", e)
         logger.info("warmup done in %.0fs", time.time() - t0)
