@@ -262,12 +262,21 @@ class VectorStore:
         vals = np.asarray(vals)[:b, :k_eff]
         idx = np.asarray(idx)[:b, :k_eff]
         self._searches += b
+        return self.build_hits(vals, idx)
+
+    def build_hits(
+        self, vals: np.ndarray, idx: np.ndarray
+    ) -> List[List[SearchHit]]:
+        """Materialize SearchHit rows from (values, indices) arrays —
+        shared by the two-step path and the fused encode+search path."""
         weights = self.corpus.level_weights(self.config.level_weights)
         out: List[List[SearchHit]] = []
-        for i in range(b):
+        for row_vals, row_idx in zip(np.asarray(vals), np.asarray(idx)):
             hits = []
-            for val, j in zip(vals[i], idx[i]):
+            for val, j in zip(row_vals, row_idx):
                 j = int(j)
+                if j < 0:
+                    continue
                 w = float(weights[j]) or 1.0
                 hits.append(
                     SearchHit(
