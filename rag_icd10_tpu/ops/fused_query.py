@@ -52,7 +52,10 @@ class FusedQueryEngine:
             emb = model.apply({"params": params}, ids, mask, types)  # (B, D)
             if on_tpu:
                 tile_n = default_tile_n(
-                    ids.shape[0], corpus.shape[0], corpus.dtype.itemsize
+                    ids.shape[0],
+                    corpus.shape[0],
+                    corpus.dtype.itemsize,
+                    dim=corpus.shape[1],
                 )
                 scores = fused_weighted_scores(
                     emb.astype(corpus.dtype), corpus, weights, maskv, tile_n=tile_n
