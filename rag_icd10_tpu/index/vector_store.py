@@ -213,6 +213,14 @@ class VectorStore:
     def is_loaded(self) -> bool:
         return self._loaded
 
+    def get_collection_load_state(self) -> Dict:
+        """Reference analog: milvus_service.py get_collection_load_state."""
+        return {
+            "loaded": self._loaded,
+            "num_entities": self.num_entities,
+            "collection_name": self.config.collection_name,
+        }
+
     # ------------------------------------------------------------- search
 
     def search(
