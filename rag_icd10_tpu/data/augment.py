@@ -1,0 +1,158 @@
+"""Query-side text augmentation for encoder training and retrieval eval.
+
+The reference's quality story is a pretrained encoder
+(services/embedding_service.py:26); offline (zero-egress) the in-domain
+trained encoder has to supply that quality, which means it must be robust
+to how clinicians actually write diagnoses: colloquial synonyms (心梗 for
+心肌梗死), legacy spellings (梗塞 for 梗死, 综合症 for 综合征), numeral
+styles (2型 vs Ⅱ型 vs 二型), dropped/parenthesized qualifiers, and typos.
+
+This module owns the perturbation vocabulary and enforces a strict
+TRAIN/EVAL SPLIT so the eval harness never measures a transform the
+training pipeline generated:
+
+- synonym pairs are split deterministically (md5 parity) into a train half
+  and an eval half;
+- transform CLASSES are also split: training uses char dropout +
+  parenthetical stripping + train-half synonyms; eval uses adjacent char
+  swaps, laterality ("左/右/双侧") dropping, and eval-half synonyms —
+  classes the training never applied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import List, Optional, Sequence, Tuple
+
+# (formal term as it appears in ICD titles, colloquial/legacy variant).
+# Hand-curated domain table; both directions are used (query may contain
+# either form).
+SYNONYM_PAIRS: Tuple[Tuple[str, str], ...] = (
+    ("心肌梗死", "心梗"),
+    ("心肌梗死", "心肌梗塞"),
+    ("脑梗死", "脑梗"),
+    ("脑梗死", "脑梗塞"),
+    ("恶性肿瘤", "癌"),
+    ("综合征", "综合症"),
+    ("冠状动脉粥样硬化性心脏病", "冠心病"),
+    ("慢性阻塞性肺疾病", "慢阻肺"),
+    ("心房颤动", "房颤"),
+    ("心室颤动", "室颤"),
+    ("心力衰竭", "心衰"),
+    ("肾功能衰竭", "肾衰"),
+    ("呼吸衰竭", "呼衰"),
+    ("乙型肝炎", "乙肝"),
+    ("甲型肝炎", "甲肝"),
+    ("丙型肝炎", "丙肝"),
+    ("流行性感冒", "流感"),
+    ("支气管哮喘", "哮喘"),
+    ("甲状腺功能亢进症", "甲亢"),
+    ("甲状腺功能减退症", "甲减"),
+    ("胃肠炎", "肠胃炎"),
+    ("脑出血", "脑溢血"),
+    ("泌尿道感染", "尿路感染"),
+    ("妊娠", "怀孕"),
+    ("剖宫产", "剖腹产"),
+    ("胆囊结石", "胆结石"),
+    ("白血病", "血癌"),
+    ("视网膜脱离", "视网膜脱落"),
+    ("龋齿", "蛀牙"),
+    ("痔", "痔疮"),
+    ("系统性红斑狼疮", "红斑狼疮"),
+    ("类风湿性关节炎", "类风湿关节炎"),
+    ("肺炎", "肺部感染"),
+    ("上呼吸道感染", "上感"),
+    ("高血压", "血压高"),
+    ("高血糖", "血糖高"),
+    ("高血脂", "血脂高"),
+    ("骨质疏松", "骨质疏松症"),
+    ("椎间盘突出", "椎间盘脱出"),
+    ("阑尾炎", "盲肠炎"),
+    ("腮腺炎", "流行性腮腺炎"),
+    ("脑血管意外", "中风"),
+    ("近视", "近视眼"),
+    ("糖尿病", "消渴症"),
+    ("肿瘤", "瘤子"),
+    ("骨折", "骨裂伤"),
+    ("1型", "Ⅰ型"),
+    ("2型", "Ⅱ型"),
+    ("1型", "一型"),
+    ("2型", "二型"),
+)
+
+
+def _is_eval_pair(pair: Tuple[str, str]) -> bool:
+    # ~1/3 of pairs held out for eval; the rest teach the encoder
+    digest = hashlib.md5(("|".join(pair)).encode("utf-8")).hexdigest()
+    return int(digest, 16) % 3 == 0
+
+
+def train_synonyms() -> List[Tuple[str, str]]:
+    return [p for p in SYNONYM_PAIRS if not _is_eval_pair(p)]
+
+
+def eval_synonyms() -> List[Tuple[str, str]]:
+    return [p for p in SYNONYM_PAIRS if _is_eval_pair(p)]
+
+
+def apply_synonym(text: str, pairs: Sequence[Tuple[str, str]]) -> Optional[str]:
+    """First applicable substitution (formal->variant), else None."""
+    for formal, variant in pairs:
+        if formal in text:
+            return text.replace(formal, variant, 1)
+    return None
+
+
+_PAREN_RE = re.compile(r"[（(][^（()）]*[)）]")
+_LATERALITY_RE = re.compile(r"(左侧|右侧|双侧|左|右)")
+
+
+def strip_parenthetical(text: str) -> Optional[str]:
+    out = _PAREN_RE.sub("", text)
+    out = out.strip()
+    return out if out and out != text else None
+
+
+def char_dropout(text: str, rng) -> Optional[str]:
+    """Drop one random char (typo robustness); only for longer titles."""
+    if len(text) < 5:
+        return None
+    i = int(rng.integers(0, len(text)))
+    return text[:i] + text[i + 1 :]
+
+
+def char_swap(text: str, rng) -> Optional[str]:
+    """Swap two adjacent chars (EVAL-class transform)."""
+    if len(text) < 5:
+        return None
+    i = int(rng.integers(0, len(text) - 1))
+    if text[i] == text[i + 1]:
+        return None
+    return text[:i] + text[i + 1] + text[i] + text[i + 2 :]
+
+
+def drop_laterality(text: str) -> Optional[str]:
+    """Remove 左/右/双侧 qualifiers (EVAL-class transform)."""
+    out = _LATERALITY_RE.sub("", text, count=1)
+    return out if out != text and len(out) >= 2 else None
+
+
+def augment_train(title: str, rng) -> Optional[str]:
+    """One TRAIN-class perturbation of a title (or None to keep as-is).
+
+    Classes: train-half synonyms, parenthetical stripping, char dropout.
+    EVAL-class transforms (char swap, laterality drop, eval-half synonyms)
+    are deliberately NOT applied here — see module docstring.
+    """
+    choice = int(rng.integers(0, 3))
+    if choice == 0:
+        out = apply_synonym(title, train_synonyms())
+        if out:
+            return out
+    if choice == 1:
+        out = strip_parenthetical(title)
+        if out:
+            return out
+    # fall through: char dropout applies to most titles
+    return char_dropout(title, rng)

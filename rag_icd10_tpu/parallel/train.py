@@ -37,19 +37,91 @@ def contrastive_loss(za: jnp.ndarray, zb: jnp.ndarray, temperature: float = 0.05
     return loss, accuracy
 
 
+def contrastive_loss_masked(
+    za: jnp.ndarray,
+    zb: jnp.ndarray,
+    group_a: jnp.ndarray,
+    group_b: jnp.ndarray,
+    zh: Optional[jnp.ndarray] = None,
+    h_group: Optional[jnp.ndarray] = None,
+    temperature: float = 0.05,
+):
+    """InfoNCE with duplicate-collision masking and optional hard negatives.
+
+    The ICD corpus has ~5.5k records sharing a title with another record;
+    naive in-batch negatives then present a VALID positive as a negative
+    (two codes, same title -> same anchor text), which poisons training.
+    ``group_a``/``group_b`` carry per-row integer title ids for the anchor
+    text and for the record behind the positive text; off-diagonal logits
+    where either id collides are masked to -inf (the mask is symmetric, so
+    it is valid for both directions of the bidirectional loss).
+
+    ``zh`` (B, H) are explicit hard negatives (sibling titles under the
+    same parent — the actually-confusable class). Every anchor sees ALL
+    hard negatives in the batch; hard-negative columns whose title id
+    equals the anchor's own or its positive's title id are masked
+    (cross-example false negatives).
+    """
+    b = za.shape[0]
+    logits_pos = (za @ zb.T) / temperature  # (B, B)
+    same = (group_a[:, None] == group_a[None, :]) | (
+        group_b[:, None] == group_b[None, :]
+    )
+    off_diag = ~jnp.eye(b, dtype=bool)
+    logits_pos = jnp.where(same & off_diag, -1e9, logits_pos)
+    labels = jnp.arange(b)
+    if zh is not None:
+        logits_hn = (za @ zh.T) / temperature  # (B, B)
+        false_neg = (h_group[None, :] == group_a[:, None]) | (
+            h_group[None, :] == group_b[:, None]
+        )
+        logits_hn = jnp.where(false_neg, -1e9, logits_hn)
+        logits_fwd = jnp.concatenate([logits_pos, logits_hn], axis=1)  # (B, 2B)
+    else:
+        logits_fwd = logits_pos
+    loss_a = optax.softmax_cross_entropy_with_integer_labels(logits_fwd, labels)
+    loss_b = optax.softmax_cross_entropy_with_integer_labels(logits_pos.T, labels)
+    loss = 0.5 * (loss_a.mean() + loss_b.mean())
+    accuracy = jnp.mean(jnp.argmax(logits_fwd, axis=1) == labels)
+    return loss, accuracy
+
+
 def make_train_step(arch: BertArch, optimizer, temperature: float = 0.05):
     """Returns train_step(params, opt_state, batch) -> (params, opt_state,
-    metrics). Pure function, ready to jit with shardings."""
+    metrics). Pure function, ready to jit with shardings.
+
+    Batch keys decide the objective at trace time:
+    - a_*/b_* only                    -> plain bidirectional InfoNCE
+    - + "group_a"/"group_b"           -> duplicate-title masking
+    - + h_*/"h_group"                 -> masked InfoNCE with hard negatives
+      (anchors and hard negatives share one stacked forward — same seq len,
+      twice the rows, better MXU utilization than two half-size calls)
+    """
     model = SentenceBert(arch)
 
     def loss_fn(params, batch):
-        za = model.apply(
-            {"params": params}, batch["a_ids"], batch["a_mask"], batch["a_types"]
-        )
+        if "h_ids" in batch:
+            ids = jnp.concatenate([batch["a_ids"], batch["h_ids"]], axis=0)
+            msk = jnp.concatenate([batch["a_mask"], batch["h_mask"]], axis=0)
+            typ = jnp.concatenate([batch["a_types"], batch["h_types"]], axis=0)
+            zah = model.apply({"params": params}, ids, msk, typ)
+            b = batch["a_ids"].shape[0]
+            za, zh = zah[:b], zah[b:]
+        else:
+            za = model.apply(
+                {"params": params}, batch["a_ids"], batch["a_mask"], batch["a_types"]
+            )
+            zh = None
         zb = model.apply(
             {"params": params}, batch["b_ids"], batch["b_mask"], batch["b_types"]
         )
-        loss, acc = contrastive_loss(za, zb, temperature)
+        if "group_a" in batch:
+            loss, acc = contrastive_loss_masked(
+                za, zb, batch["group_a"], batch["group_b"],
+                zh, batch.get("h_group"), temperature,
+            )
+        else:
+            loss, acc = contrastive_loss(za, zb, temperature)
         return loss, acc
 
     def train_step(params, opt_state, batch):
@@ -126,6 +198,47 @@ def make_sharded_train_step(
 def contrastive_train_step(params, opt_state, batch, arch, optimizer):
     """Convenience single-device step (tests)."""
     return make_train_step(arch, optimizer)(params, opt_state, batch)
+
+
+def make_triplet_batch(
+    tokenizer,
+    texts_a,
+    texts_b,
+    texts_h,
+    group_a,
+    group_b,
+    h_group,
+    seq_a: int = 48,
+    seq_b: int = 96,
+    pad_rows: Optional[int] = None,
+) -> Dict[str, jnp.ndarray]:
+    """Tokenize an (anchor, positive, hard-negative) batch with title-group
+    ids into static-shape arrays for the masked-loss train step.
+
+    Anchors and hard negatives are short titles (seq_a); positives are
+    semantic_texts, whose p99 length is ~94 chars in the real corpus, so
+    they get their own longer bucket (seq_b) instead of truncating at the
+    anchor length.
+    """
+    a_ids, a_mask, a_types = tokenizer.encode_batch(
+        texts_a, max_length=seq_a, buckets=(seq_a,), pad_batch_to=pad_rows
+    )
+    b_ids, b_mask, b_types = tokenizer.encode_batch(
+        texts_b, max_length=seq_b, buckets=(seq_b,), pad_batch_to=pad_rows
+    )
+    h_ids, h_mask, h_types = tokenizer.encode_batch(
+        texts_h, max_length=seq_a, buckets=(seq_a,), pad_batch_to=pad_rows
+    )
+    import numpy as np
+
+    return {
+        "a_ids": a_ids, "a_mask": a_mask, "a_types": a_types,
+        "b_ids": b_ids, "b_mask": b_mask, "b_types": b_types,
+        "h_ids": h_ids, "h_mask": h_mask, "h_types": h_types,
+        "group_a": np.asarray(group_a, np.int32),
+        "group_b": np.asarray(group_b, np.int32),
+        "h_group": np.asarray(h_group, np.int32),
+    }
 
 
 def make_pair_batch(

@@ -1,18 +1,28 @@
 """Contrastive fine-tuning of the sentence encoder on corpus-derived pairs.
 
-The reference consumes a fixed pre-trained checkpoint; this tool makes the
-embedder trainable ON TPU as a first-class capability. Training pairs come
-from the ICD corpus itself (no external data needed):
+The reference consumes a fixed pre-trained checkpoint
+(services/embedding_service.py:26); this tool makes the embedder trainable
+ON TPU as a first-class capability. Training examples come from the ICD
+corpus itself (no external data needed):
 
-- (preferred_zh title, semantic_text) — a record's title should embed
-  close to its enriched semantic text (the stored vector)
-- (child title, parent title) — ICD hierarchy neighbors pull together
-- objective: bidirectional in-batch-negatives InfoNCE
-  (sentence-transformers MultipleNegativesRankingLoss)
+- (title, semantic_text) — a record's title should embed close to its
+  enriched semantic text (the stored vector)
+- (child title, parent semantic_text) — hierarchy neighbors pull together
+- sibling HARD NEGATIVES — codes under the same parent are the actually
+  confusable class; each anchor trains against a same-parent title
+- duplicate-title masking — ~5.5k records share a title with another
+  record; the masked InfoNCE (parallel/train.py contrastive_loss_masked)
+  never presents an identical-title row as a negative
+- TRAIN-class query augmentation (data/augment.py): train-half synonyms,
+  parenthetical strip, char dropout — eval-class transforms are withheld
+  for the retrieval eval harness
+
+Objective: bidirectional in-batch-negatives InfoNCE with hard negatives
+(sentence-transformers MultipleNegativesRankingLoss family).
 
 Usage:
     python -m rag_icd10_tpu.tools.train_encoder \
-        --steps 500 --batch 256 --out db/trained
+        --steps 16000 --batch 256 --out db/trained
     export EMBEDDING_WEIGHTS_PATH=db/trained/params.npz
     python -m rag_icd10_tpu.tools.build_database --rebuild
 
@@ -26,16 +36,64 @@ import argparse
 import logging
 import sys
 import time
+from collections import defaultdict
+from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 
 logger = logging.getLogger("rag_icd10_tpu.train")
 
 
+@dataclass
+class Example:
+    anchor: str
+    positive: str
+    ga: int  # title id of the anchor's source title
+    gb: int  # title id of the record behind the positive
+    sib_titles: Tuple[str, ...]  # same-parent distinct titles (hard negs)
+    augment: bool  # parent-pairs keep the exact child title
+
+
+def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
+    """Corpus -> training examples + the title->id interning map."""
+    title_ids: Dict[str, int] = {}
+
+    def tid(t: str) -> int:
+        return title_ids.setdefault(t, len(title_ids))
+
+    c2i = corpus.code_to_idx
+    kids = defaultdict(list)
+    for i, p in enumerate(corpus.parent_codes):
+        if p:
+            kids[p].append(i)
+
+    examples: List[Example] = []
+    titles = corpus.titles
+    for i in range(len(corpus)):
+        t = titles[i]
+        sibs = tuple(
+            titles[j]
+            for j in kids.get(corpus.parent_codes[i], ())
+            if titles[j] != t
+        )
+        examples.append(
+            Example(t, corpus.semantic_texts[i], tid(t), tid(t), sibs, True)
+        )
+        pi = c2i.get(corpus.parent_codes[i])
+        if pi is not None and titles[pi] != t:
+            examples.append(
+                Example(
+                    t, corpus.semantic_texts[pi], tid(t), tid(titles[pi]),
+                    sibs, False,
+                )
+            )
+    return examples, title_ids
+
+
 def make_pairs(corpus) -> List[Tuple[str, str]]:
-    """Training pairs from the corpus (title<->semantic, child<->parent)."""
+    """Legacy plain-pair builder (title<->semantic, child<->parent)."""
     pairs: List[Tuple[str, str]] = []
     title_of = {}
     for code, title in zip(corpus.codes, corpus.titles):
@@ -49,17 +107,69 @@ def make_pairs(corpus) -> List[Tuple[str, str]]:
     return pairs
 
 
+def draw_batch(
+    examples: List[Example],
+    idx,
+    corpus_titles: List[str],
+    title_ids: Dict[str, int],
+    rng,
+    tok,
+    seq_a: int,
+    seq_b: int,
+    augment_prob: float,
+):
+    """Materialize one triplet batch; augmentation and hard-negative
+    sampling are fresh each draw (new perturbations every epoch)."""
+    from ..data.augment import augment_train
+    from ..parallel.train import make_triplet_batch
+
+    texts_a, texts_b, texts_h = [], [], []
+    ga, gb, gh = [], [], []
+    for i in idx:
+        e = examples[i]
+        a = e.anchor
+        if e.augment and rng.random() < augment_prob:
+            v = augment_train(a, rng)
+            if v:
+                a = v
+        if e.sib_titles:
+            h = e.sib_titles[int(rng.integers(0, len(e.sib_titles)))]
+        else:
+            # random title; the loss masks it if it happens to collide
+            h = corpus_titles[int(rng.integers(0, len(corpus_titles)))]
+        texts_a.append(a)
+        texts_b.append(e.positive)
+        texts_h.append(h)
+        ga.append(e.ga)
+        gb.append(e.gb)
+        gh.append(title_ids.setdefault(h, len(title_ids)))
+    return make_triplet_batch(
+        tok, texts_a, texts_b, texts_h, ga, gb, gh,
+        seq_a=seq_a, seq_b=seq_b, pad_rows=len(idx),
+    )
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
-    parser.add_argument("--steps", type=int, default=500)
+    parser.add_argument("--steps", type=int, default=16000)
     parser.add_argument("--batch", type=int, default=256)
-    parser.add_argument("--seq", type=int, default=64)
+    parser.add_argument("--seq-a", type=int, default=48,
+                        help="anchor/hard-negative (title) sequence length")
+    parser.add_argument("--seq-b", type=int, default=96,
+                        help="positive (semantic_text, p99~94 chars) length")
     parser.add_argument("--lr", type=float, default=1e-4)
+    parser.add_argument("--augment-prob", type=float, default=0.3)
     parser.add_argument("--out", default="db/trained")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", type=int, default=0, help="mesh dp (0 = single device)")
     parser.add_argument("--tp", type=int, default=1)
     parser.add_argument("--log-every", type=int, default=50)
+    parser.add_argument("--save-every", type=int, default=2000,
+                        help="checkpoint params every N steps (0 = end only)")
+    parser.add_argument(
+        "--plain-pairs", action="store_true",
+        help="legacy objective: unmasked pairs, no hard negatives",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -81,8 +191,15 @@ def main(argv=None) -> int:
 
     cfg = get_config()
     corpus = load_corpus(cfg.data_path)
-    pairs = make_pairs(corpus)
-    logger.info("built %d training pairs from %d records", len(pairs), len(corpus))
+    if args.plain_pairs:
+        pairs = make_pairs(corpus)
+        logger.info("built %d plain pairs from %d records", len(pairs), len(corpus))
+    else:
+        examples, title_ids = build_examples(corpus)
+        logger.info(
+            "built %d examples (%d distinct titles) from %d records",
+            len(examples), len(title_ids), len(corpus),
+        )
 
     vocab_path = str(Path(cfg.store.db_path).with_suffix("")) + ".vocab.txt"
     if Path(vocab_path).exists():
@@ -128,24 +245,39 @@ def main(argv=None) -> int:
         def run_step(params, opt_state, batch):
             return step_fn(params, opt_state, batch)
 
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def save_checkpoint(params):
+        params_host = jax.device_get(params)
+        save_params(params_host, str(out / "params.npz"))
+        tok.save_vocab(str(out / "vocab.txt"))
+
     rng = np.random.default_rng(args.seed)
-    order = rng.permutation(len(pairs))
+    n_examples = len(pairs) if args.plain_pairs else len(examples)
+    order = rng.permutation(n_examples)
     t0 = time.time()
     losses = []
     for step in range(args.steps):
-        lo = (step * args.batch) % len(pairs)
+        lo = (step * args.batch) % n_examples
         idx = order[lo : lo + args.batch]
         if len(idx) < args.batch:  # wrap + reshuffle each epoch
-            order = rng.permutation(len(pairs))
+            order = rng.permutation(n_examples)
             idx = order[: args.batch]
-        batch_pairs = [pairs[i] for i in idx]
-        batch = make_pair_batch(
-            tok,
-            [a for a, _ in batch_pairs],
-            [b for _, b in batch_pairs],
-            max_length=args.seq,
-            pad_rows=args.batch,
-        )
+        if args.plain_pairs:
+            batch_pairs = [pairs[i] for i in idx]
+            batch = make_pair_batch(
+                tok,
+                [a for a, _ in batch_pairs],
+                [b for _, b in batch_pairs],
+                max_length=args.seq_b,
+                pad_rows=args.batch,
+            )
+        else:
+            batch = draw_batch(
+                examples, idx, corpus.titles, title_ids, rng, tok,
+                args.seq_a, args.seq_b, args.augment_prob,
+            )
         params, opt_state, m = run_step(params, opt_state, batch)
         losses.append(float(m["loss"]))
         if (step + 1) % args.log_every == 0 or step == 0:
@@ -155,12 +287,11 @@ def main(argv=None) -> int:
                 step + 1, args.steps, float(m["loss"]),
                 float(m["accuracy"]), rate,
             )
+        if args.save_every and (step + 1) % args.save_every == 0:
+            save_checkpoint(params)
+            logger.info("checkpoint saved at step %d -> %s", step + 1, out)
 
-    out = Path(args.out)
-    out.mkdir(parents=True, exist_ok=True)
-    params_host = jax.device_get(params)
-    save_params(params_host, str(out / "params.npz"))
-    tok.save_vocab(str(out / "vocab.txt"))
+    save_checkpoint(params)
     logger.info("saved trained params -> %s/params.npz (final loss %.4f)",
                 out, float(np.mean(losses[-args.log_every:])))
     print(f"export EMBEDDING_WEIGHTS_PATH={out}/params.npz")
