@@ -32,7 +32,7 @@ from pydantic import ValidationError
 
 from ..config import Config, get_config
 from ..runtime import Engine
-from .batching import RequestBatcher
+from .batching import BatcherOverloaded, BatcherTimeout, RequestBatcher
 from .schemas import (
     Candidate,
     DiagnosisMatch,
@@ -160,6 +160,9 @@ class APIServer:
             matcher.match_many_texts,
             window_ms=self.config.api.batch_window_ms,
             max_batch=self.config.api.max_batch,
+            max_queue=self.config.api.max_queue,
+            request_timeout_s=self.config.api.request_timeout_s,
+            drain_timeout_s=self.config.api.drain_timeout_s,
         )
         self.batcher.start()
         logger.info("API ready on %s:%s", self.config.api.host, self.config.api.port)
@@ -206,7 +209,10 @@ class APIServer:
         if self.batcher is None:
             return error_response("服务未就绪", 503)
         try:
-            result = await self.batcher.submit(req.text, req.top_k)
+            result = await self.batcher.submit(
+                req.text, req.top_k,
+                search_method=req.search_method, ef_search=req.ef_search,
+            )
             matches = [match_to_schema(m) for m in result["matches"]]
             all_candidates = [c for m in matches for c in m.candidates]
             all_candidates.sort(key=lambda c: c.score, reverse=True)
@@ -223,6 +229,10 @@ class APIServer:
                 },
             )
             return json_response(response.model_dump())
+        except BatcherOverloaded as e:
+            return error_response(f"服务过载: {e}", 503)
+        except BatcherTimeout as e:
+            return error_response(f"查询超时: {e}", 504)
         except Exception as e:
             logger.exception("query failed")
             return error_response(f"查询失败: {e}", 500)
@@ -301,6 +311,10 @@ class APIServer:
                     }
                 ]
             return json_response(StandardizeResponse(results=results).model_dump())
+        except BatcherOverloaded as e:
+            return error_response(f"服务过载: {e}", 503)
+        except BatcherTimeout as e:
+            return error_response(f"标准化超时: {e}", 504)
         except Exception as e:
             logger.exception("standardize failed")
             return error_response(f"标准化失败: {e}", 500)

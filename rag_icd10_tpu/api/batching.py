@@ -7,6 +7,22 @@ equivalent — every request is processed alone and sequentially.
 
 Device work runs in a single worker thread: JAX dispatch is blocking, and
 serializing it through one thread also guarantees jit-cache friendliness.
+
+Overload/failure behavior (SURVEY.md §5 failure-detection row):
+- bounded queue — submit raises ``BatcherOverloaded`` when ``max_queue``
+  requests are already waiting (the API maps it to 503) instead of
+  growing memory without bound;
+- per-request timeout — a caller stuck behind a slow batch (e.g. a cold
+  XLA compile for a new shape bucket) gets ``BatcherTimeout`` (504)
+  rather than waiting forever; the worker skips delivering to abandoned
+  futures;
+- graceful drain — ``stop()`` waits up to ``drain_timeout_s`` for queued
+  and in-flight work before cancelling, so a SIGTERM during an in-flight
+  compile neither wedges teardown nor silently drops completed results.
+
+Requests carrying per-request search knobs (search_method / ef_search)
+still coalesce: the worker groups a collected batch by knob key and runs
+one matcher call per group (almost always a single default group).
 """
 
 from __future__ import annotations
@@ -14,13 +30,22 @@ from __future__ import annotations
 import asyncio
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, List, Optional
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+
+class BatcherOverloaded(Exception):
+    """Queue is full — shed load (maps to HTTP 503)."""
+
+
+class BatcherTimeout(Exception):
+    """Request waited longer than the per-request timeout (HTTP 504)."""
 
 
 @dataclass
 class _Pending:
     text: str
     top_k: int
+    key: Tuple[Optional[str], Optional[int]]  # (search_method, ef_search)
     future: asyncio.Future = field(repr=False)
 
 
@@ -30,15 +55,23 @@ class RequestBatcher:
 
     def __init__(
         self,
-        matcher_fn: Callable[[List[str], int], List[Dict[str, Any]]],
+        matcher_fn: Callable[..., List[Dict[str, Any]]],
         window_ms: float = 2.0,
         max_batch: int = 64,
+        max_queue: int = 256,
+        request_timeout_s: float = 90.0,
+        drain_timeout_s: float = 10.0,
     ):
         self.matcher_fn = matcher_fn
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
-        self.queue: "asyncio.Queue[_Pending]" = asyncio.Queue()
+        self.max_queue = max_queue
+        self.request_timeout_s = request_timeout_s
+        self.drain_timeout_s = drain_timeout_s
+        self.queue: "asyncio.Queue[_Pending]" = asyncio.Queue(maxsize=max_queue)
         self._task: Optional[asyncio.Task] = None
+        self._stopping = False
+        self._busy = False  # a batch is on the device right now
         # dedicated single worker thread: serializes device work (jit-cache
         # friendly) and can be abandoned on shutdown without hanging the
         # event loop's default executor (a SIGTERM during an in-flight XLA
@@ -46,13 +79,26 @@ class RequestBatcher:
         self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batcher")
         self.batches_served = 0
         self.requests_served = 0
+        self.requests_rejected = 0
+        self.requests_timed_out = 0
 
     def start(self) -> None:
         if self._task is None:
+            self._stopping = False
             self._task = asyncio.get_event_loop().create_task(self._worker())
 
     async def stop(self) -> None:
+        """Drain queued + in-flight work for up to ``drain_timeout_s``,
+        then cancel. In-flight device calls that outlive the drain are
+        abandoned (their thread is daemonized by executor shutdown)."""
+        self._stopping = True
         if self._task is not None:
+            deadline = asyncio.get_event_loop().time() + self.drain_timeout_s
+            while (
+                (not self.queue.empty() or self._busy)
+                and asyncio.get_event_loop().time() < deadline
+            ):
+                await asyncio.sleep(0.05)
             self._task.cancel()
             try:
                 await self._task
@@ -61,12 +107,46 @@ class RequestBatcher:
             self._task = None
         # don't wait for an in-flight device call; drop it
         self._executor.shutdown(wait=False, cancel_futures=True)
+        # fail whatever is still queued so callers aren't left hanging
+        while not self.queue.empty():
+            pending = self.queue.get_nowait()
+            if not pending.future.done():
+                pending.future.set_exception(
+                    BatcherTimeout("server shutting down")
+                )
 
-    async def submit(self, text: str, top_k: int) -> Dict[str, Any]:
+    async def submit(
+        self,
+        text: str,
+        top_k: int,
+        search_method: Optional[str] = None,
+        ef_search: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        if self._stopping:
+            raise BatcherOverloaded("server shutting down")
         loop = asyncio.get_event_loop()
-        pending = _Pending(text=text, top_k=top_k, future=loop.create_future())
-        await self.queue.put(pending)
-        return await pending.future
+        pending = _Pending(
+            text=text,
+            top_k=top_k,
+            key=(search_method, ef_search),
+            future=loop.create_future(),
+        )
+        try:
+            self.queue.put_nowait(pending)
+        except asyncio.QueueFull:
+            self.requests_rejected += 1
+            raise BatcherOverloaded(
+                f"request queue full ({self.max_queue} waiting)"
+            ) from None
+        try:
+            return await asyncio.wait_for(
+                pending.future, timeout=self.request_timeout_s
+            )
+        except asyncio.TimeoutError:
+            self.requests_timed_out += 1
+            raise BatcherTimeout(
+                f"request timed out after {self.request_timeout_s:.0f}s"
+            ) from None
 
     async def _worker(self) -> None:
         while True:
@@ -83,33 +163,60 @@ class RequestBatcher:
                     )
                 except asyncio.TimeoutError:
                     break
-            # requests may ask different top_k: run at the max, slice later
-            top_k = max(p.top_k for p in batch)
-            texts = [p.text for p in batch]
+            # group by search-knob key; each group is one device batch
+            groups: Dict[Tuple, List[_Pending]] = {}
+            for p in batch:
+                groups.setdefault(p.key, []).append(p)
+            self._busy = True
             try:
-                results = await asyncio.get_event_loop().run_in_executor(
-                    self._executor, self.matcher_fn, texts, top_k
-                )
-                for pending, result in zip(batch, results):
-                    if pending.top_k < top_k:
-                        for m in result.get("matches", []):
-                            m.candidates = m.candidates[: pending.top_k]
-                        result["total_matches"] = sum(
-                            len(m.candidates) for m in result.get("matches", [])
-                        )
-                    if not pending.future.done():
-                        pending.future.set_result(result)
-            except Exception as e:
-                for pending in batch:
-                    if not pending.future.done():
-                        pending.future.set_exception(e)
-            self.batches_served += 1
+                for (method, ef), group in groups.items():
+                    await self._run_group(group, method, ef)
+            finally:
+                self._busy = False
+            self.batches_served += len(groups)
             self.requests_served += len(batch)
+
+    async def _run_group(self, group: List[_Pending], method, ef) -> None:
+        # requests may ask different top_k: run at the max, slice later
+        top_k = max(p.top_k for p in group)
+        texts = [p.text for p in group]
+
+        def call():
+            if method is None and ef is None:
+                return self.matcher_fn(texts, top_k)
+            try:
+                return self.matcher_fn(
+                    texts, top_k, search_method=method, ef_search=ef
+                )
+            except TypeError:  # matcher without knob support
+                return self.matcher_fn(texts, top_k)
+
+        try:
+            results = await asyncio.get_event_loop().run_in_executor(
+                self._executor, call
+            )
+            for pending, result in zip(group, results):
+                if pending.top_k < top_k:
+                    for m in result.get("matches", []):
+                        m.candidates = m.candidates[: pending.top_k]
+                    result["total_matches"] = sum(
+                        len(m.candidates) for m in result.get("matches", [])
+                    )
+                if not pending.future.done():
+                    pending.future.set_result(result)
+        except Exception as e:
+            for pending in group:
+                if not pending.future.done():
+                    pending.future.set_exception(e)
 
     def stats(self) -> Dict[str, Any]:
         return {
             "batches_served": self.batches_served,
             "requests_served": self.requests_served,
+            "requests_rejected": self.requests_rejected,
+            "requests_timed_out": self.requests_timed_out,
+            "queue_depth": self.queue.qsize(),
+            "max_queue": self.max_queue,
             "avg_batch_size": (
                 round(self.requests_served / self.batches_served, 2)
                 if self.batches_served

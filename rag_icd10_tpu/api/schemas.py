@@ -50,6 +50,15 @@ def convert_numpy_types(obj: Any) -> Any:
 class QueryRequest(BaseModel):
     text: str = Field(..., description="诊断文本", min_length=1)
     top_k: int = Field(default=5, description="返回候选数量", ge=1, le=50)
+    # Per-request index knobs (superset of the reference contract, which
+    # accepts only {text, top_k} — icd_models.py:135-138 — and exposes
+    # index params only via Milvus config, README_MILVUS_CONFIG.md).
+    search_method: Optional[str] = Field(
+        default=None, description="检索方法覆盖", pattern="^(exact|approx|hnsw)$"
+    )
+    ef_search: Optional[int] = Field(
+        default=None, description="HNSW beam宽度覆盖", ge=1, le=4096
+    )
 
 
 class StandardizeRequest(BaseModel):

@@ -149,11 +149,15 @@ class StoreConfig:
 @dataclass(frozen=True)
 class HNSWConfig:
     """HNSW graph index (native C++ path; reference docs claim HNSW at
-    README.md:47 though the code builds FLAT)."""
+    README.md:47 though the code builds FLAT). Env-tunable like the
+    reference's Milvus index params (README_MILVUS_CONFIG.md); ef_search
+    can additionally be overridden per request via the API."""
 
-    M: int = 16
-    ef_construction: int = 200
-    ef_search: int = 64
+    M: int = field(default_factory=lambda: _env_int("HNSW_M", 16))
+    ef_construction: int = field(
+        default_factory=lambda: _env_int("HNSW_EF_CONSTRUCTION", 200)
+    )
+    ef_search: int = field(default_factory=lambda: _env_int("HNSW_EF_SEARCH", 64))
 
 
 @dataclass(frozen=True)
@@ -270,6 +274,16 @@ class APIConfig:
         default_factory=lambda: _env_float("BATCH_WINDOW_MS", 2.0)
     )
     max_batch: int = field(default_factory=lambda: _env_int("MAX_BATCH", 64))
+    # Overload/shutdown policy for the batcher (SURVEY §5 failure detection):
+    # bound the wait queue (503 beyond it), cap per-request wall time (504),
+    # and drain in-flight work briefly on shutdown.
+    max_queue: int = field(default_factory=lambda: _env_int("MAX_QUEUE", 256))
+    request_timeout_s: float = field(
+        default_factory=lambda: _env_float("REQUEST_TIMEOUT_S", 90.0)
+    )
+    drain_timeout_s: float = field(
+        default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
+    )
 
 
 @dataclass(frozen=True)

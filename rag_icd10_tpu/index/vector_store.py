@@ -101,8 +101,16 @@ class SearchHit:
 class VectorStore:
     """Batched TPU flat-scan vector store over an ICD corpus."""
 
-    def __init__(self, dim: int, config: Optional[StoreConfig] = None):
+    def __init__(
+        self,
+        dim: int,
+        config: Optional[StoreConfig] = None,
+        hnsw_config=None,
+    ):
+        from ..config import HNSWConfig
+
         self.config = config or StoreConfig()
+        self.hnsw_config = hnsw_config or HNSWConfig()
         self.dim = dim
         self.corpus: Optional[ICDCorpus] = None
         self._vectors: Optional[np.ndarray] = None  # host (N, D) fp32
@@ -153,17 +161,27 @@ class VectorStore:
             self.corpus.category_paths = old.category_paths + new.category_paths
             self.corpus.semantic_texts = old.semantic_texts + new.semantic_texts
             self.corpus._code_to_idx = None
+            n_old = self._vectors.shape[0]
             self._vectors = np.concatenate([self._vectors, vectors], axis=0)
-            if self._semantic_vectors is not None:
-                # keep row-parallel with vectors; fall back to the record
-                # embeddings when no semantic_text embeddings were given
-                add = (
-                    np.asarray(semantic_vectors, np.float32)
-                    if semantic_vectors is not None
-                    else vectors
-                )
+            if semantic_vectors is not None:
+                add = np.asarray(semantic_vectors, np.float32)
+                if self._semantic_vectors is None:
+                    # semantic vectors arriving only now: backfill earlier
+                    # rows with their record embeddings so the matrix stays
+                    # row-parallel (previously this batch was silently
+                    # dropped)
+                    self._semantic_vectors = np.concatenate(
+                        [self._vectors[:n_old], add]
+                    )
+                else:
+                    self._semantic_vectors = np.concatenate(
+                        [self._semantic_vectors, add]
+                    )
+            elif self._semantic_vectors is not None:
+                # keep row-parallel; fall back to the record embeddings
+                # when no semantic_text embeddings were given
                 self._semantic_vectors = np.concatenate(
-                    [self._semantic_vectors, add]
+                    [self._semantic_vectors, vectors]
                 )
         self._loaded = False  # device state is stale
         self._dev = None
@@ -228,10 +246,16 @@ class VectorStore:
         query_vectors: np.ndarray,
         top_k: int = 5,
         method: Optional[str] = None,
+        ef_search: Optional[int] = None,
     ) -> List[List[SearchHit]]:
         """Batched search: (B, D) query vectors -> per-query top_k hits,
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
-        which handles one query; here B queries cost one device call)."""
+        which handles one query; here B queries cost one device call).
+
+        ``method`` ("exact"/"approx"/"hnsw") and ``ef_search`` (HNSW beam
+        width) are per-request overrides of the config defaults — the
+        reference exposes the same knobs through its Milvus index params
+        (README_MILVUS_CONFIG.md)."""
         method = method or self.config.search_method
         q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
         if self.num_entities == 0:
@@ -239,7 +263,7 @@ class VectorStore:
         k_eff = min(max(top_k, 1), self.num_entities)
         if self.config.index_type.upper() == "HNSW" or method == "hnsw":
             # graph path runs host-side; no device residency required
-            return self._search_hnsw(q, k_eff)
+            return self._search_hnsw(q, k_eff, ef_search=ef_search)
         if not self._loaded:
             if not self.load_collection():
                 return [[] for _ in range(q.shape[0])]
@@ -307,7 +331,7 @@ class VectorStore:
 
     # ------------------------------------------------------------- HNSW
 
-    def build_hnsw(self, M: int = 16, ef_construction: int = 200):
+    def build_hnsw(self, M: Optional[int] = None, ef_construction: Optional[int] = None):
         """Build (or return) the native C++ graph index over the corpus —
         the path for corpora beyond brute-force. Search applies the same
         level-weight×resort post-pass the flat path fuses on device."""
@@ -315,7 +339,11 @@ class VectorStore:
             return self._hnsw
         from .hnsw_index import HNSWIndex
 
-        idx = HNSWIndex(dim=self.dim, M=M, ef_construction=ef_construction)
+        idx = HNSWIndex(
+            dim=self.dim,
+            M=M or self.hnsw_config.M,
+            ef_construction=ef_construction or self.hnsw_config.ef_construction,
+        )
         idx.add(self._vectors)
         self._hnsw = idx
         return idx
@@ -323,12 +351,35 @@ class VectorStore:
     def _search_hnsw(
         self, q: np.ndarray, k_eff: int, ef_search: Optional[int] = None
     ) -> List[List[SearchHit]]:
-        from ..config import HNSWConfig
-
-        hnsw_cfg = HNSWConfig()
-        idx = self.build_hnsw(M=hnsw_cfg.M, ef_construction=hnsw_cfg.ef_construction)
-        ips, ids = idx.search(q, k_eff, ef_search or hnsw_cfg.ef_search)
+        """Graph search with weighted-semantics parity: the flat path ranks
+        by level-WEIGHTED score in-kernel, but the graph traverses raw IP,
+        so a ×1.2 level-1 row can sit below the raw-IP top-k yet inside the
+        weighted top-k. The graph over-fetches (starting at 2k, the factor
+        the orchestrator uses before rescoring,
+        multi_diagnosis_service.py:153) and then verifies a correctness
+        bound per query: any UNfetched row has raw IP ≤ the last fetched
+        raw IP, hence weighted score ≤ last_raw × max_weight; if the k-th
+        weighted score already beats that bound, the weighted top-k is
+        provably complete relative to the graph's raw ordering. Queries
+        failing the bound refetch with doubled k."""
+        idx = self.build_hnsw()
         weights = self.corpus.level_weights(self.config.level_weights)
+        max_w = float(np.max(self.config.level_weights))
+        n = self.num_entities
+        k_fetch = min(2 * k_eff, n)
+        while True:
+            ef = max(ef_search or self.hnsw_config.ef_search, k_fetch)
+            ips, ids = idx.search(q, k_fetch, ef)
+            if k_fetch >= n:
+                break
+            valid = ids >= 0
+            w_rows = np.where(valid, weights[np.clip(ids, 0, n - 1)], 0.0)
+            weighted = np.where(valid, ips * w_rows, -np.inf)
+            kth_weighted = -np.sort(-weighted, axis=1)[:, k_eff - 1]
+            last_raw = np.where(valid, ips, np.inf).min(axis=1)
+            if np.all(kth_weighted >= last_raw * max_w - 1e-6):
+                break
+            k_fetch = min(2 * k_fetch, n)
         self._searches += q.shape[0]
         out: List[List[SearchHit]] = []
         for row_ips, row_ids in zip(ips, ids):
@@ -355,7 +406,7 @@ class VectorStore:
                     )
                 )
             hits.sort(key=lambda h: h.score, reverse=True)
-            out.append(hits)
+            out.append(hits[:k_eff])
         return out
 
     def semantic_similarities(
@@ -388,6 +439,12 @@ class VectorStore:
             "dim": self.dim,
             "index_type": self.config.index_type,
             "metric_type": self.config.metric_type,
+            "search_method": self.config.search_method,
+            "index_params": {
+                "M": self.hnsw_config.M,
+                "ef_construction": self.hnsw_config.ef_construction,
+                "ef_search": self.hnsw_config.ef_search,
+            },
             "loaded": self._loaded,
             "searches_served": self._searches,
             "memory": self.get_memory_usage(),
@@ -454,9 +511,14 @@ class VectorStore:
         return str(base)
 
     @classmethod
-    def load(cls, path: str, config: Optional[StoreConfig] = None) -> "VectorStore":
+    def load(
+        cls,
+        path: str,
+        config: Optional[StoreConfig] = None,
+        hnsw_config=None,
+    ) -> "VectorStore":
         manifest = json.loads(Path(path + ".manifest.json").read_text())
-        store = cls(dim=manifest["dim"], config=config)
+        store = cls(dim=manifest["dim"], config=config, hnsw_config=hnsw_config)
         data = np.load(path + ".npz")
         store._vectors = data["vectors"]
         if "semantic_vectors" in data:

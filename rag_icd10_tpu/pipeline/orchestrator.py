@@ -151,6 +151,13 @@ class MultiDiagnosisService:
                 self.store.load_collection()
             except Exception:
                 return None
+        if self._fused is not None and (
+            self._fused.store is not self.store
+            or self._fused.encoder is not self.encoder
+        ):
+            # encoder/store object was swapped (e.g. resource reload built a
+            # fresh store) — drop the engine bound to the old objects
+            self._fused = None
         if self._fused is not None and FusedQueryEngine.supports(
             self.encoder, self.store
         ):
@@ -162,11 +169,23 @@ class MultiDiagnosisService:
 
     # ------------------------------------------------------------- public
 
-    def match_multiple_diagnoses(self, text: str, top_k: int = 5) -> Dict[str, Any]:
-        return self.match_many_texts([text], top_k)[0]
+    def match_multiple_diagnoses(
+        self,
+        text: str,
+        top_k: int = 5,
+        search_method: Optional[str] = None,
+        ef_search: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        return self.match_many_texts(
+            [text], top_k, search_method=search_method, ef_search=ef_search
+        )[0]
 
     def match_many_texts(
-        self, texts: List[str], top_k: int = 5
+        self,
+        texts: List[str],
+        top_k: int = 5,
+        search_method: Optional[str] = None,
+        ef_search: Optional[int] = None,
     ) -> List[Dict[str, Any]]:
         """Process a BATCH of independent request texts in one device batch.
 
@@ -211,7 +230,14 @@ class MultiDiagnosisService:
         # weighted scores -> top-k); fallback: separate encode + search
         # device calls (mock encoders, HNSW stores, released collections).
         if flat_diagnoses:
-            fused = self._fused_engine()
+            # per-request search overrides force the two-step path: the
+            # fused program bakes in the FLAT method, and HNSW/ef knobs are
+            # host-side concepts
+            fused = (
+                self._fused_engine()
+                if search_method is None and ef_search is None
+                else None
+            )
             k_fetch = top_k * self.overfetch
             if fused is not None:
                 with metrics.timer("encode+search(fused)"):
@@ -231,7 +257,15 @@ class MultiDiagnosisService:
                         self.encoder.encode_queries(flat_diagnoses)
                     )
                 with metrics.timer("search"):
-                    all_hits = self.store.search(query_vecs, k_fetch)
+                    try:
+                        all_hits = self.store.search(
+                            query_vecs, k_fetch,
+                            method=search_method, ef_search=ef_search,
+                        )
+                    except TypeError:
+                        # duck-typed mock stores in tests may not accept
+                        # the per-request knobs
+                        all_hits = self.store.search(query_vecs, k_fetch)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
 

@@ -115,11 +115,15 @@ class Engine:
             base = self.config.store.db_path
             if VectorStore.exists(base):
                 logger.info("loading persisted store from %s", base)
-                self.store = VectorStore.load(base, config=self.config.store)
+                self.store = VectorStore.load(
+                    base, config=self.config.store, hnsw_config=self.config.hnsw
+                )
             else:
                 logger.warning("no persisted store at %s — empty collection", base)
                 self.store = VectorStore(
-                    dim=self.config.encoder.hidden_size, config=self.config.store
+                    dim=self.config.encoder.hidden_size,
+                    config=self.config.store,
+                    hnsw_config=self.config.hnsw,
                 )
             if load and self.store.num_entities:
                 self.store.load_collection()

@@ -237,3 +237,40 @@ class TestEndpoints:
 
         results = loop.run_until_complete(_do())
         assert all(r["diagnosis_matches"] for r in results)
+
+
+class TestSearchKnobs:
+    """Per-request index knobs through the API (the reference exposes
+    these only via Milvus config, README_MILVUS_CONFIG.md)."""
+
+    def test_ef_sweep_via_api(self, client):
+        baseline = post(client, "/query", {"text": "急性胃肠炎", "top_k": 3})[1]
+        for ef in (16, 64, 256):
+            status, j = post(client, "/query", {
+                "text": "急性胃肠炎", "top_k": 3,
+                "search_method": "hnsw", "ef_search": ef,
+            })
+            assert status == 200, j
+            assert j["candidates"], f"no candidates at ef={ef}"
+        # high-ef graph results agree with the default exact path
+        codes_exact = [c["code"] for c in baseline["candidates"]]
+        codes_graph = [c["code"] for c in j["candidates"]]
+        assert codes_graph == codes_exact
+
+    def test_invalid_method_rejected(self, client):
+        status, j = post(client, "/query", {
+            "text": "急性胃肠炎", "search_method": "bogus"})
+        assert status == 400
+
+    def test_invalid_ef_rejected(self, client):
+        status, _ = post(client, "/query", {
+            "text": "急性胃肠炎", "ef_search": 0})
+        assert status == 400
+
+    def test_stats_mirror_index_params(self, client):
+        status, j = get(client, "/stats")
+        assert status == 200
+        assert "index_params" in j["milvus"]
+        assert set(j["milvus"]["index_params"]) == {
+            "M", "ef_construction", "ef_search"}
+        assert "queue_depth" in j["batching"]

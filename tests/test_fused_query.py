@@ -89,3 +89,51 @@ class TestFusedEngine:
         assert svc._fused_engine() is None
         result = svc.match_multiple_diagnoses("急性胃肠炎", top_k=3)
         assert result["total_matches"] > 0
+
+
+class TestFusedInvalidation:
+    """Regression: the cached FusedQueryEngine must be dropped when the
+    orchestrator's store/encoder object is swapped (e.g. a resource reload
+    builds a fresh store), not keep serving from the old binding."""
+
+    def test_store_swap_invalidates_engine(self, setup, monkeypatch):
+        monkeypatch.setenv("FUSED_QUERY", "1")
+        enc, store, corpus = setup
+        ner = MedicalNERService(NERConfig(use_model=False))
+        svc = MultiDiagnosisService(
+            encoder=enc, store=store, ner_service=ner,
+            text_processor=DiagnosisTextProcessor(
+                use_enhanced_processing=True, ner_service=ner),
+        )
+        first = svc._fused_engine()
+        assert first is not None and first.store is store
+        # swap in a NEW store object (different corpus subset)
+        vecs = enc.encode_batch(corpus.semantic_texts, kind="query")
+        store2 = VectorStore(dim=64, config=StoreConfig(pad_multiple=128))
+        store2.insert_records(list(corpus.records()), vecs)
+        store2.load_collection()
+        svc.store = store2
+        second = svc._fused_engine()
+        assert second is not None
+        assert second is not first
+        assert second.store is store2
+        # engine bound to the new arrays actually serves
+        result = svc.match_multiple_diagnoses("急性胃肠炎", top_k=3)
+        assert result["total_matches"] > 0
+
+    def test_encoder_swap_invalidates_engine(self, setup, monkeypatch):
+        monkeypatch.setenv("FUSED_QUERY", "1")
+        enc, store, corpus = setup
+        ner = MedicalNERService(NERConfig(use_model=False))
+        svc = MultiDiagnosisService(
+            encoder=enc, store=store, ner_service=ner,
+            text_processor=DiagnosisTextProcessor(
+                use_enhanced_processing=True, ner_service=ner),
+        )
+        first = svc._fused_engine()
+        assert first is not None
+        tok = enc.tokenizer
+        enc2 = TextEncoder(EncoderConfig(**TINY), tokenizer=tok)
+        svc.encoder = enc2
+        second = svc._fused_engine()
+        assert second is not first and second.encoder is enc2

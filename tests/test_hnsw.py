@@ -110,3 +110,72 @@ class TestStoreHNSWPath:
         expected_top = set(np.argsort(-weighted)[:3].tolist())
         # small corpus + high ef -> graph search should agree with exact
         assert {h.id for h in hits} == expected_top
+
+
+class TestWeightedOverfetch:
+    """The graph traverses raw IP but the contract ranks by level-WEIGHTED
+    score; the store must over-fetch 2k so a x1.2 level-1 row just outside
+    the raw-IP top-k still lands in the weighted top-k (parity with the
+    fused flat path, which weights in-kernel)."""
+
+    def _crafted(self):
+        # level-2 codes (one dot, <=1 char after) score raw IPs
+        # .95...91; one level-1 code (no dot) at raw .90 — outside raw
+        # top-5, but weighted .90*1.2=1.08 tops the list.
+        rows = [{"code": f"A0.{i}", "disease": f"病{i}"} for i in range(5)]
+        rows.append({"code": "B10", "disease": "目标病"})
+        # distractors far away
+        rows += [{"code": f"C1.{i}", "disease": f"他病{i}"} for i in range(4)]
+        from rag_icd10_tpu.data.corpus import ICDCorpus
+
+        corpus = ICDCorpus.from_rows(rows)
+        d = 32
+        ips = {0: .95, 1: .94, 2: .93, 3: .92, 4: .91, 5: .90}
+        vecs = np.zeros((len(corpus), d), np.float32)
+        for i in range(len(corpus)):
+            ip = ips.get(i, 0.1)
+            vecs[i, 0] = ip
+            vecs[i, 1 + i] = np.sqrt(1 - ip * ip)
+        q = np.zeros((1, d), np.float32)
+        q[0, 0] = 1.0
+        return corpus, vecs, q
+
+    def test_weighted_row_recovered(self):
+        corpus, vecs, q = self._crafted()
+        assert int(corpus.levels[5]) == 1  # the B10 row
+        store = VectorStore(dim=32, config=StoreConfig(pad_multiple=64))
+        store.insert_records(list(corpus.records()), vecs)
+        flat = store.search(q, top_k=5)[0]
+        graph = store.search(q, top_k=5, method="hnsw")[0]
+        assert [h.id for h in graph] == [h.id for h in flat]
+        assert graph[0].code == "B10"  # weighted winner
+        assert graph[0].score == pytest.approx(0.9 * 1.2, abs=1e-3)
+        assert len(graph) == 5  # truncated back to k after over-fetch
+
+    def test_weighted_recall_vs_flat_clustered(self):
+        corpus = synthetic_corpus(1024, seed=11)
+        vecs = clustered(1024, 64, seed=11)
+        store = VectorStore(dim=64, config=StoreConfig(pad_multiple=128))
+        store.insert_records(list(corpus.records()), vecs)
+        q = clustered(16, 64, seed=12)
+        flat = store.search(q, top_k=10)
+        # clustered random data is tie-heavy, so drive the beam wide; the
+        # real-corpus sweep (trained embeddings) hits 1.0 at ef>=16
+        graph = store.search(q, top_k=10, method="hnsw", ef_search=512)
+        recalls = []
+        for f_row, g_row in zip(flat, graph):
+            f_ids = {h.id for h in f_row}
+            g_ids = {h.id for h in g_row}
+            recalls.append(len(f_ids & g_ids) / len(f_ids))
+        assert np.mean(recalls) >= 0.99, np.mean(recalls)
+
+    def test_per_request_ef_search(self):
+        corpus = synthetic_corpus(256, seed=13)
+        vecs = clustered(256, 64, seed=13)
+        store = VectorStore(dim=64, config=StoreConfig(pad_multiple=128))
+        store.insert_records(list(corpus.records()), vecs)
+        # ef override reaches the graph: results at ef=256 match exact
+        hits = store.search(vecs[:2], top_k=5, method="hnsw", ef_search=256)
+        flat = store.search(vecs[:2], top_k=5)
+        for g_row, f_row in zip(hits, flat):
+            assert [h.id for h in g_row] == [h.id for h in f_row]

@@ -119,3 +119,57 @@ class TestPersistence:
             np.testing.assert_allclose(
                 [h.score for h in ha], [h.score for h in hb], rtol=1e-6
             )
+
+
+class TestLateSemanticVectors:
+    """Regression: semantic vectors arriving on a LATER insert used to be
+    silently dropped when the first insert carried none."""
+
+    def test_backfill_on_late_arrival(self):
+        corpus = synthetic_corpus(64, seed=5)
+        recs = list(corpus.records())
+        rng = np.random.default_rng(5)
+        vecs = normed(rng.standard_normal((64, 32)).astype(np.float32))
+        sem = normed(rng.standard_normal((32, 32)).astype(np.float32))
+        s = VectorStore(dim=32, config=StoreConfig(pad_multiple=64))
+        s.insert_records(recs[:32], vecs[:32])  # no semantic vectors
+        assert s._semantic_vectors is None
+        s.insert_records(recs[32:], vecs[32:], semantic_vectors=sem)
+        assert s._semantic_vectors is not None
+        assert s._semantic_vectors.shape == (64, 32)
+        # first 32 rows backfilled with record vectors, last 32 use sem
+        np.testing.assert_allclose(s._semantic_vectors[:32], vecs[:32])
+        np.testing.assert_allclose(s._semantic_vectors[32:], sem)
+        # and semantic_similarities reads the semantic rows
+        sims = s.semantic_similarities(sem[:1], np.array([[32]]))
+        assert sims[0, 0] == pytest.approx(1.0, abs=1e-5)
+
+    def test_mixed_inserts_stay_row_parallel(self):
+        corpus = synthetic_corpus(48, seed=6)
+        recs = list(corpus.records())
+        rng = np.random.default_rng(6)
+        vecs = normed(rng.standard_normal((48, 32)).astype(np.float32))
+        sem = normed(rng.standard_normal((16, 32)).astype(np.float32))
+        s = VectorStore(dim=32, config=StoreConfig(pad_multiple=64))
+        s.insert_records(recs[:16], vecs[:16], semantic_vectors=sem)
+        s.insert_records(recs[16:32], vecs[16:32])  # none -> record vecs
+        s.insert_records(recs[32:], vecs[32:], semantic_vectors=vecs[32:])
+        assert s._semantic_vectors.shape == (48, 32)
+        np.testing.assert_allclose(s._semantic_vectors[:16], sem)
+        np.testing.assert_allclose(s._semantic_vectors[16:32], vecs[16:32])
+
+
+class TestStatsKnobs:
+    def test_stats_expose_index_params(self):
+        from rag_icd10_tpu.config import HNSWConfig
+
+        s = VectorStore(
+            dim=16,
+            config=StoreConfig(pad_multiple=64),
+            hnsw_config=HNSWConfig(M=24, ef_construction=111, ef_search=77),
+        )
+        stats = s.get_collection_stats()
+        assert stats["index_params"] == {
+            "M": 24, "ef_construction": 111, "ef_search": 77,
+        }
+        assert stats["search_method"] in ("exact", "approx")
