@@ -16,15 +16,59 @@
 // - single-writer build, lock-free concurrent reads after build
 
 #include <algorithm>
+#include <atomic>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <memory>
+#include <mutex>
 #include <queue>
 #include <random>
+#include <thread>
 #include <vector>
 
 namespace {
+
+// Reusable epoch-stamped visited tables: search_layer used to allocate and
+// zero an O(N) byte array per query per layer, which is quadratic-ish pain
+// at multi-million-row scale. A table is marked by bumping its epoch
+// (O(1)); the stamp array is only zeroed on 32-bit wrap. Tables are pooled
+// behind a mutex so concurrent readers each get their own.
+class VisitedPool {
+  public:
+    struct Table {
+        std::vector<uint32_t> stamps;
+        uint32_t epoch = 0;
+    };
+
+    std::unique_ptr<Table> acquire(size_t n) {
+        std::unique_ptr<Table> t;
+        {
+            std::lock_guard<std::mutex> g(mu_);
+            if (!free_.empty()) {
+                t = std::move(free_.back());
+                free_.pop_back();
+            }
+        }
+        if (!t) t.reset(new Table);
+        if (t->stamps.size() < n) t->stamps.resize(n, 0);
+        if (++t->epoch == 0) {  // wrapped: clear once, restart at 1
+            std::fill(t->stamps.begin(), t->stamps.end(), 0);
+            t->epoch = 1;
+        }
+        return t;
+    }
+
+    void release(std::unique_ptr<Table> t) {
+        std::lock_guard<std::mutex> g(mu_);
+        free_.push_back(std::move(t));
+    }
+
+  private:
+    std::mutex mu_;
+    std::vector<std::unique_ptr<Table>> free_;
+};
 
 struct Candidate {
     float dist;
@@ -125,20 +169,22 @@ class HNSW {
     // best-first search on one layer; returns up to ef candidates
     std::vector<Candidate> search_layer(const float* q, int32_t start, int ef,
                                         int layer) const {
-        std::vector<uint8_t> visited(size(), 0);
+        auto table = visited_pool_.acquire(size());
+        const uint32_t ep = table->epoch;
+        uint32_t* st = table->stamps.data();
         std::priority_queue<Candidate, std::vector<Candidate>, CloserFirst> to_visit;
         std::priority_queue<Candidate, std::vector<Candidate>, FartherFirst> best;
         float d0 = dist(q, vec(start));
         to_visit.push({d0, start});
         best.push({d0, start});
-        visited[start] = 1;
+        st[start] = ep;
         while (!to_visit.empty()) {
             Candidate c = to_visit.top();
             if (c.dist > best.top().dist && int(best.size()) >= ef) break;
             to_visit.pop();
             for (int32_t nb : neighbors_[c.id][layer]) {
-                if (visited[nb]) continue;
-                visited[nb] = 1;
+                if (st[nb] == ep) continue;
+                st[nb] = ep;
                 float d = dist(q, vec(nb));
                 if (int(best.size()) < ef || d < best.top().dist) {
                     to_visit.push({d, nb});
@@ -147,6 +193,7 @@ class HNSW {
                 }
             }
         }
+        visited_pool_.release(std::move(table));
         std::vector<Candidate> out;
         out.reserve(best.size());
         while (!best.empty()) {
@@ -198,11 +245,17 @@ class HNSW {
     }
 
     size_t memory_bytes() const {
-        size_t b = vectors_.size() * sizeof(float);
-        for (const auto& per_node : neighbors_)
+        // honest heap accounting: allocated capacities + per-vector
+        // bookkeeping structs (not sizeof(vector) of the elements, which
+        // only measured the header)
+        size_t b = vectors_.capacity() * sizeof(float);
+        b += levels_.capacity() * sizeof(int);
+        b += neighbors_.capacity() * sizeof(neighbors_[0]);
+        for (const auto& per_node : neighbors_) {
+            b += per_node.capacity() * sizeof(std::vector<int32_t>);
             for (const auto& layer : per_node)
-                b += layer.size() * sizeof(int32_t) + sizeof(layer);
-        b += levels_.size() * sizeof(int);
+                b += layer.capacity() * sizeof(int32_t);
+        }
         return b;
     }
 
@@ -324,6 +377,7 @@ class HNSW {
     std::vector<float> vectors_;
     std::vector<int> levels_;
     std::vector<std::vector<std::vector<int32_t>>> neighbors_;
+    mutable VisitedPool visited_pool_;
 };
 
 }  // namespace
@@ -344,9 +398,29 @@ void hnsw_add_batch(void* h, int n, const float* vecs) {
 void hnsw_search_batch(void* h, int nq, const float* queries, int k, int ef,
                        int32_t* out_idx, float* out_ip) {
     HNSW* idx = static_cast<HNSW*>(h);
-    for (int i = 0; i < nq; ++i)
-        idx->search(queries + size_t(i) * idx->dim(), k, ef,
-                    out_idx + size_t(i) * k, out_ip + size_t(i) * k);
+    // reads are lock-free after build: fan the batch across hardware
+    // threads (work-stealing via an atomic cursor). Degenerates to the
+    // serial loop on single-core hosts or single-query batches.
+    unsigned hw = std::thread::hardware_concurrency();
+    unsigned nthreads = std::min<unsigned>(hw ? hw : 1, unsigned(nq));
+    if (nthreads <= 1) {
+        for (int i = 0; i < nq; ++i)
+            idx->search(queries + size_t(i) * idx->dim(), k, ef,
+                        out_idx + size_t(i) * k, out_ip + size_t(i) * k);
+        return;
+    }
+    std::atomic<int> cursor(0);
+    auto worker = [&]() {
+        int i;
+        while ((i = cursor.fetch_add(1, std::memory_order_relaxed)) < nq)
+            idx->search(queries + size_t(i) * idx->dim(), k, ef,
+                        out_idx + size_t(i) * k, out_ip + size_t(i) * k);
+    };
+    std::vector<std::thread> threads;
+    threads.reserve(nthreads - 1);
+    for (unsigned t = 0; t + 1 < nthreads; ++t) threads.emplace_back(worker);
+    worker();
+    for (auto& t : threads) t.join();
 }
 
 int hnsw_size(void* h) { return static_cast<HNSW*>(h)->size(); }
