@@ -139,6 +139,10 @@ class StoreConfig:
     device_dtype: str = field(
         default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
     )
+    # corpus-dimension sharding over all visible devices (parallel/search.py):
+    # "auto" = shard when >1 TPU device is attached; "on"/"off" force it.
+    # Per-shard scan + one all_gather(k) merge — the 100M-row scaling path.
+    sharded: str = field(default_factory=lambda: _env("STORE_SHARDED", "auto"))
     # Level weights applied at search time and re-sorted
     # (milvus_service.py:292-316,550-558).
     level_weights: tuple = (1.2, 1.0, 0.8)  # levels 1,2,3

@@ -116,6 +116,7 @@ class VectorStore:
         self._vectors: Optional[np.ndarray] = None  # host (N, D) fp32
         # device-resident state (set by load_collection)
         self._dev = None  # dict(corpus, weights, mask) of jax arrays
+        self._sharded = None  # ShardedFlatSearcher (multi-device corpus)
         self._semantic_vectors: Optional[np.ndarray] = None
         self._hnsw = None  # native graph index (index_type == "HNSW")
         self._loaded = False
@@ -185,6 +186,7 @@ class VectorStore:
                 )
         self._loaded = False  # device state is stale
         self._dev = None
+        self._sharded = None
         return len(records)
 
     # ----------------------------------------------------------- lifecycle
@@ -193,12 +195,44 @@ class VectorStore:
     def num_entities(self) -> int:
         return 0 if self.corpus is None else len(self.corpus)
 
+    def _use_sharded(self) -> bool:
+        """Corpus-dimension sharding policy: "on" forces it, "auto" shards
+        when more than one accelerator is attached (the 40k corpus is
+        single-chip-tiny, but the same store code must serve a sharded
+        100M-row corpus on a pod slice — SURVEY.md §5 distributed row)."""
+        mode = (self.config.sharded or "auto").lower()
+        if mode == "off":
+            return False
+        try:
+            n = len(jax.devices())
+        except Exception:
+            return False
+        if mode == "on":
+            return n > 1
+        return n > 1 and jax.default_backend() == "tpu"
+
     def load_collection(self) -> bool:
         """Pad + transfer the corpus matrix, level weights and padding mask
-        to device HBM (reference analog: milvus_service.py:343)."""
+        to device HBM (reference analog: milvus_service.py:343).
+
+        Multi-device: the corpus rows shard across all devices instead
+        (one ShardedFlatSearcher; per-shard fused scan + all_gather(k)
+        merge, parallel/search.py)."""
         if self._vectors is None or self.corpus is None:
             return False
         weights = self.corpus.level_weights(self.config.level_weights)
+        if self._use_sharded():
+            from jax.sharding import Mesh
+
+            from ..parallel.search import ShardedFlatSearcher
+
+            mesh = Mesh(np.array(jax.devices()), ("shard",))
+            self._sharded = ShardedFlatSearcher(
+                self._vectors, weights, mesh, axis="shard"
+            )
+            self._dev = None  # single-device residency replaced by shards
+            self._loaded = True
+            return True
         cp, wp, m = pad_corpus(
             self._vectors, weights, multiple=self.config.pad_multiple
         )
@@ -217,6 +251,7 @@ class VectorStore:
     def release_collection(self) -> bool:
         """Drop device arrays (reference analog: milvus_service.py:411)."""
         self._dev = None
+        self._sharded = None
         self._loaded = False
         return True
 
@@ -272,7 +307,9 @@ class VectorStore:
         b_pad = _next_pow2(b)
         q_pad = np.zeros((b_pad, self.dim), dtype=np.float32)
         q_pad[:b] = q
-        if _use_pallas():
+        if self._sharded is not None:
+            vals, idx = self._sharded.search(q_pad, k=k_pad)
+        elif _use_pallas():
             vals, idx = fused_search(
                 q_pad,
                 self._dev["corpus"],
@@ -302,12 +339,13 @@ class VectorStore:
         """Materialize SearchHit rows from (values, indices) arrays —
         shared by the two-step path and the fused encode+search path."""
         weights = self.corpus.level_weights(self.config.level_weights)
+        n = self.num_entities
         out: List[List[SearchHit]] = []
         for row_vals, row_idx in zip(np.asarray(vals), np.asarray(idx)):
             hits = []
             for val, j in zip(row_vals, row_idx):
                 j = int(j)
-                if j < 0:
+                if j < 0 or j >= n:  # padding rows (sharded global ids)
                     continue
                 w = float(weights[j]) or 1.0
                 hits.append(

@@ -68,14 +68,22 @@ class ShardedFlatSearcher:
             fidx = jnp.take_along_axis(all_idx, fpos, axis=1)
             return fvals, fidx
 
-        from jax.experimental.shard_map import shard_map
-
         in_specs = (P(), P(axis, None), P(axis), P(axis))
         out_specs = (P(), P())
-        fn = shard_map(
-            shard_fn, mesh=self.mesh, in_specs=in_specs, out_specs=out_specs,
-            check_rep=False,
-        )
+        try:
+            from jax import shard_map
+
+            fn = shard_map(
+                shard_fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            )
+        except ImportError:  # older jax spelling
+            from jax.experimental.shard_map import shard_map
+
+            fn = shard_map(
+                shard_fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_rep=False,
+            )
         return jax.jit(fn)
 
     def search(self, queries: np.ndarray, k: int) -> Tuple[np.ndarray, np.ndarray]:

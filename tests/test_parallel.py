@@ -162,3 +162,59 @@ class TestGraftEntry:
 
         fn, args = __graft_entry__.entry()
         assert callable(fn) and len(args) == 4
+
+
+class TestStoreShardedBackend:
+    """VectorStore serves through the sharded backend when forced on
+    (auto mode only activates on multi-TPU; tests run the 8-device CPU
+    mesh)."""
+
+    def _store(self, n=640, d=64):
+        from rag_icd10_tpu.config import StoreConfig
+        from rag_icd10_tpu.data.corpus import synthetic_corpus
+        from rag_icd10_tpu.index.vector_store import VectorStore
+
+        corpus = synthetic_corpus(n, seed=21)
+        rng = np.random.default_rng(21)
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        store = VectorStore(
+            dim=d, config=StoreConfig(pad_multiple=128, sharded="on")
+        )
+        store.insert_records(list(corpus.records()), vecs)
+        return store, corpus, vecs
+
+    def test_sharded_matches_exact(self):
+        store, corpus, vecs = self._store()
+        assert store.load_collection()
+        assert store._sharded is not None and store._dev is None
+        q = vecs[:5]
+        hits = store.search(q, top_k=10)
+        weighted = (q @ vecs.T) * corpus.level_weights()[None, :]
+        for i, row in enumerate(hits):
+            expect = np.argsort(-weighted[i])[:10].tolist()
+            assert [h.id for h in row] == expect
+
+    def test_release_reload_cycle(self):
+        store, _, vecs = self._store(n=256)
+        store.load_collection()
+        assert store._sharded is not None
+        store.release_collection()
+        assert store._sharded is None and not store.is_loaded
+        hits = store.search(vecs[:1], top_k=3)  # auto-reload
+        assert len(hits[0]) == 3 and store._sharded is not None
+
+    def test_off_mode_keeps_single_device(self):
+        from rag_icd10_tpu.config import StoreConfig
+        from rag_icd10_tpu.data.corpus import synthetic_corpus
+        from rag_icd10_tpu.index.vector_store import VectorStore
+
+        corpus = synthetic_corpus(128, seed=22)
+        rng = np.random.default_rng(22)
+        vecs = rng.standard_normal((128, 32)).astype(np.float32)
+        store = VectorStore(
+            dim=32, config=StoreConfig(pad_multiple=128, sharded="off")
+        )
+        store.insert_records(list(corpus.records()), vecs)
+        store.load_collection()
+        assert store._sharded is None and store._dev is not None
