@@ -54,7 +54,9 @@ class QueryRequest(BaseModel):
     # accepts only {text, top_k} — icd_models.py:135-138 — and exposes
     # index params only via Milvus config, README_MILVUS_CONFIG.md).
     search_method: Optional[str] = Field(
-        default=None, description="检索方法覆盖", pattern="^(exact|approx|hnsw)$"
+        default=None,
+        description="检索方法覆盖",
+        pattern="^(exact|approx|streaming|hnsw)$",
     )
     ef_search: Optional[int] = Field(
         default=None, description="HNSW beam宽度覆盖", ge=1, le=4096

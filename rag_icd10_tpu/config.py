@@ -129,8 +129,10 @@ class StoreConfig:
     # (milvus_service.py:33-34,190-194); HNSW supported as a second path.
     index_type: str = field(default_factory=lambda: _env("INDEX_TYPE", "FLAT"))
     metric_type: str = "IP"
-    # top-k method on the flat path: "exact" (lax.top_k) or "approx"
-    # (lax.approx_max_k — ~4x faster selection at recall ~1.0 for k<=16)
+    # top-k method on the flat path: "exact" (lax.top_k), "approx"
+    # (lax.approx_max_k — ~4x faster selection at recall ~1.0 for k<=16),
+    # or "streaming" (exact in-kernel top-k, k<=128: the (B, N) score
+    # matrix never reaches HBM — the huge-corpus path)
     search_method: str = field(
         default_factory=lambda: _env("SEARCH_METHOD", "exact")
     )

@@ -118,13 +118,19 @@ def fused_search(
 ):
     """Fused Pallas scoring + top-k. Returns (values, indices).
 
-    tile_n=0 auto-sizes the corpus tile to the VMEM budget."""
+    tile_n=0 auto-sizes the corpus tile to the VMEM budget.
+    method "streaming" (k <= 128) selects in-kernel: the (B, N) score
+    matrix never reaches HBM — the scaling path for huge corpora."""
     if tile_n == 0:
         tile_n = default_tile_n(
             queries.shape[0],
             corpus.shape[0],
             corpus.dtype.itemsize,
             dim=corpus.shape[1],
+        )
+    if method == "streaming" and k <= 128:
+        return streaming_topk(
+            queries, corpus, weights, mask, k=k, tile_n=tile_n, exact=exact
         )
     scores = fused_weighted_scores(
         queries, corpus, weights, mask, tile_n=tile_n, exact=exact
@@ -134,3 +140,156 @@ def fused_search(
     else:
         vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Streaming top-k: running (B, K) top-k lives in VMEM across corpus tiles;
+# the (B, N) score matrix NEVER materializes in HBM (SURVEY §7.1 "fused
+# scan + on-chip top-k"). HBM traffic = corpus read + (B, K) outputs.
+#
+# Per tile the kernel computes scores in VMEM, reduces each of 128
+# lane-slots (strided columns) to its top-2 values (3 VPU sweeps), and
+# merges those 256 candidates into the running top-k with a K-step
+# vectorized extraction. Exactness is certified per tile: every value NOT
+# among a slot's top-2 is bounded by that slot's 3rd-max, so if no slot's
+# 3rd-max beats the post-merge running k-th value, nothing was missed;
+# otherwise a @pl.when fallback re-merges the FULL tile exactly (rare:
+# requires >=3 of the current global top-k to collide in one 128-stride
+# slot; for k<=32 over random order this is per-mille-level).
+# ---------------------------------------------------------------------------
+
+
+def _extract_topk_into(oval_ref, oidx_ref, cand_vals, cand_idx, k: int):
+    """Vectorized k-step max extraction: writes descending top-k of the
+    (B, C) candidates into the output refs. No gathers — first-occurrence
+    one-hot masks select values and indices."""
+    b, c = cand_vals.shape
+    col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+
+    def body(i, vals):
+        m = jnp.max(vals, axis=1, keepdims=True)  # (B, 1)
+        amax = jnp.argmax(vals, axis=1)  # first max column (B,)
+        first = col == amax[:, None]  # (B, C) one-hot
+        chosen_idx = jnp.max(jnp.where(first, cand_idx, -1), axis=1)
+        oval_ref[:, pl.ds(i, 1)] = m
+        oidx_ref[:, pl.ds(i, 1)] = chosen_idx[:, None]
+        return jnp.where(first, -jnp.inf, vals)
+
+    jax.lax.fori_loop(0, k, body, cand_vals)
+
+
+def _make_streaming_kernel(k: int, tile_n: int, precision):
+    def kernel(q_ref, c_ref, w_ref, m_ref, oval_ref, oidx_ref,
+               bval_ref, bidx_ref):
+        j = pl.program_id(0)
+        b = q_ref.shape[0]
+
+        @pl.when(j == 0)
+        def _():
+            oval_ref[:] = jnp.full((b, k), -jnp.inf, jnp.float32)
+            oidx_ref[:] = jnp.full((b, k), -1, jnp.int32)
+
+        s = jax.lax.dot_general(
+            q_ref[:], c_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        ) * w_ref[:] + m_ref[:]  # (B, T)
+
+        # lane-slot layout: slot = column mod 128, elements strided by 128
+        e = tile_n // 128
+        s3 = s.reshape(b, e, 128)
+        erow = jax.lax.broadcasted_iota(jnp.int32, (b, e, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
+        base = j * tile_n
+
+        sm1 = jnp.max(s3, axis=1)  # (B, 128)
+        am1 = jnp.argmax(s3, axis=1)
+        first1 = erow == am1[:, None, :]
+        idx1 = base + am1 * 128 + lane
+        s3b = jnp.where(first1, -jnp.inf, s3)
+        sm2 = jnp.max(s3b, axis=1)
+        am2 = jnp.argmax(s3b, axis=1)
+        first2 = erow == am2[:, None, :]
+        idx2 = base + am2 * 128 + lane
+        s3c = jnp.where(first2, -jnp.inf, s3b)
+        sm3 = jnp.max(s3c, axis=1)  # per-slot miss bound (B, 128)
+
+        # backup the running state for the exact-fallback branch
+        bval_ref[:] = oval_ref[:]
+        bidx_ref[:] = oidx_ref[:]
+
+        cand_vals = jnp.concatenate([bval_ref[:], sm1, sm2], axis=1)
+        cand_idx = jnp.concatenate([bidx_ref[:], idx1, idx2], axis=1)
+        _extract_topk_into(oval_ref, oidx_ref, cand_vals, cand_idx, k)
+
+        run_min = jnp.min(oval_ref[:], axis=1)  # post-merge k-th (B,)
+        danger = jnp.any(sm3 > run_min[:, None])
+
+        @pl.when(danger)
+        def _():
+            # certified-miss possible: exact re-merge of the FULL tile
+            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + base
+            cv = jnp.concatenate([bval_ref[:], s], axis=1)
+            ci = jnp.concatenate([bidx_ref[:], col], axis=1)
+            _extract_topk_into(oval_ref, oidx_ref, cv, ci, k)
+
+    return kernel
+
+
+@partial(jax.jit, static_argnames=("k", "tile_n", "exact", "interpret"))
+def streaming_topk(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray,
+    k: int,
+    tile_n: int = 2048,
+    exact: bool = True,
+    interpret: bool = False,
+):
+    """(B, D) x (N, D) -> exact level-weighted (values, indices) top-k
+    without materializing (B, N) scores to HBM. k must be <= 128;
+    best suited to k <= 32 (larger k makes the in-kernel exact fallback
+    trigger often — use fused_search's materialized path instead)."""
+    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    b, d = queries.shape
+    n, d2 = corpus.shape
+    assert d == d2, (d, d2)
+    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
+    assert 1 <= k <= 128, k
+    num_tiles = n // tile_n
+
+    w2 = weights.reshape(1, n).astype(jnp.float32)
+    m2 = mask.reshape(1, n).astype(jnp.float32)
+    q = queries.astype(corpus.dtype)
+
+    vals, idx = pl.pallas_call(
+        _make_streaming_kernel(k, tile_n, precision),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((b, k), jnp.float32),
+            pltpu.VMEM((b, k), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * corpus.dtype.itemsize + 2 * b * k * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, corpus, w2, m2)
+    return vals, idx
