@@ -257,12 +257,85 @@ def config5_standardize_qps(cfg, corpus, vectors, weights) -> Dict:
     return out
 
 
+def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
+    """Streaming in-kernel top-k vs materialized scores + lax.top_k, at
+    the real corpus size and at a synthetic 1M-row corpus (the scaling
+    regime where the (B, N) score write/read dominates HBM traffic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_icd10_tpu.ops.flat_topk import pad_corpus
+    from rag_icd10_tpu.ops.pallas_score import (
+        fused_weighted_scores,
+        streaming_topk,
+    )
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "streaming kernel benches require the TPU"}
+
+    def bench_pair(vecs, wts, b, k, iters=20):
+        rng = np.random.default_rng(6)
+        q = rng.standard_normal((b, vecs.shape[1])).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        cp, wp, m = pad_corpus(vecs, wts, 2048)
+        cd, wd, md = jax.device_put(cp), jax.device_put(wp), jax.device_put(m)
+        qd = jax.device_put(q)
+        n = cp.shape[0]
+
+        @partial(jax.jit, static_argnames=("iters", "mode"))
+        def chained(q, c, w, mk, iters=iters, mode="stream"):
+            def body(carry, _):
+                qq = q + carry[:, :1] * 1e-6
+                if mode == "stream":
+                    vals, _ = streaming_topk(qq, c, w, mk, k=k, tile_n=2048)
+                else:
+                    s = fused_weighted_scores(qq, c, w, mk, tile_n=2048)
+                    vals = jax.lax.top_k(s, k)[0]
+                return vals, ()
+            out, _ = jax.lax.scan(
+                body, jnp.zeros((q.shape[0], k), jnp.float32),
+                jnp.arange(iters),
+            )
+            return out
+
+        res = {}
+        for mode in ("materialized", "stream"):
+            out = np.asarray(chained(qd, cd, wd, md, mode=mode))  # compile
+            t0 = time.time()
+            out = np.asarray(chained(qd, cd, wd, md, mode=mode))
+            dt = (time.time() - t0) / iters
+            res[mode] = {
+                "scan_ms": round(dt * 1000, 3),
+                "corpus_gb_per_s": round(cp.nbytes / dt / 1e9, 1),
+            }
+        # parity of the two paths on this data
+        sv, si = streaming_topk(qd, cd, wd, md, k=k, tile_n=2048)
+        s = fused_weighted_scores(qd, cd, wd, md, tile_n=2048)
+        mv, mi = jax.lax.top_k(s, k)
+        res["exact_match"] = bool(
+            np.array_equal(np.asarray(si), np.asarray(mi))
+            and np.allclose(np.asarray(sv), np.asarray(mv), rtol=1e-5)
+        )
+        res["n_rows"] = int(n)
+        return res
+
+    out = {"real_40k_b16_k16": bench_pair(vectors, weights, b=16, k=16)}
+    # synthetic 1M-row corpus: scores (64, 1M) = 256 MB/scan materialized
+    rng = np.random.default_rng(7)
+    big = rng.standard_normal((1_048_576, 256)).astype(np.float32)
+    big /= np.linalg.norm(big, axis=1, keepdims=True)
+    wbig = rng.choice([0.8, 1.0, 1.2], big.shape[0]).astype(np.float32)
+    out["synthetic_1M_d256_b64_k16"] = bench_pair(big, wbig, b=64, k=16, iters=5)
+    return out
+
+
 CONFIGS = {
     1: ("exact cosine top-5", config1_exact_top5),
     2: ("HNSW efSearch sweep vs flat", config2_hnsw_sweep),
     3: ("hierarchical-weighted search", config3_weighted_search),
     4: ("multi-diagnosis batch", config4_multi_diagnosis),
     5: ("end-to-end standardize path", config5_standardize_qps),
+    6: ("streaming in-kernel top-k vs materialized", config6_streaming_topk),
 }
 
 

@@ -48,3 +48,42 @@ class TestDocsEndpointSpec:
         assert "Candidate" in spec["components"]["schemas"]
         html = docs_html()
         assert "/standardize" in html and "text/html"
+
+
+class TestConvertVerify:
+    """--verify proves end-to-end (tokenizer included) parity between the
+    HF torch forward and the converted JAX encoder; exercised offline
+    with a random-init checkpoint of the real architecture shape."""
+
+    def test_convert_and_verify_roundtrip(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        transformers = pytest.importorskip("transformers")
+
+        # small BERT + a vocab that covers the verify texts
+        chars = sorted(set("".join([
+            "急性胃肠炎", "高血压病3级，2型糖尿病", "疑似急性心肌梗死",
+            "慢性阻塞性肺疾病急性加重期伴呼吸衰竭",
+        ])))
+        vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + chars
+        src = tmp_path / "hf"
+        src.mkdir()
+        (src / "vocab.txt").write_text("\n".join(vocab), encoding="utf-8")
+        cfg = transformers.BertConfig(
+            vocab_size=len(vocab), hidden_size=32, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=64,
+            max_position_embeddings=64,
+            attention_probs_dropout_prob=0.0, hidden_dropout_prob=0.0,
+        )
+        torch.manual_seed(0)
+        model = transformers.BertModel(cfg).eval()
+        model.save_pretrained(str(src))
+
+        out = tmp_path / "converted"
+        from rag_icd10_tpu.tools.convert_weights import (
+            convert_encoder,
+            verify_encoder_parity,
+        )
+
+        convert_encoder(str(src), str(out))
+        worst = verify_encoder_parity(str(src), str(out))
+        assert worst >= 0.999
