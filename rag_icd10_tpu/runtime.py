@@ -170,20 +170,27 @@ class Engine:
     def warmup(self) -> None:
         """Pre-compile the serving shapes (encoder buckets, search k/batch
         grid) so the first user request doesn't pay minutes of XLA
-        compiles. Representative requests cover single- and
-        multi-diagnosis paths."""
+        compiles. Covers EVERY power-of-two coalesced-batch bucket the
+        batcher can produce up to max_batch (a load level hitting an
+        uncovered bucket mid-run used to pay a one-time ~10s p95 spike),
+        for both common top_k values (5, 10 -> k buckets 16, 32)."""
         t0 = time.time()
         logger.info("warmup: compiling serving shapes...")
         try:
             for text in ("急性胃肠炎", "急性胃肠炎，高血压病3级，2型糖尿病"):
                 for top_k in (5, 10):
                     self.matcher.match_many_texts([text], top_k=top_k)
-            # coalesced-batch shapes (the server merges up to max_batch
-            # concurrent requests into one device batch); cover the pow2
-            # batch-row buckets the batcher can produce
             seeds = ["急性胃肠炎", "高血压病3级", "疑似肺部感染", "2型糖尿病",
                      "慢性阻塞性肺疾病急性加重，冠状动脉粥样硬化性心脏病"]
-            for size in (8, 32, 64):
+            size, max_rows = 2, max(self.config.api.max_batch, 8)
+            sizes = []
+            while size <= max_rows:
+                sizes.append(size)
+                size *= 2
+            # multi-diagnosis seeds can push flat sub-diagnosis rows one
+            # pow2 bucket past max_batch — cover it too
+            sizes.append(max_rows * 2)
+            for size in sizes:
                 batch = (seeds * ((size // len(seeds)) + 1))[:size]
                 for top_k in (5, 10):
                     self.matcher.match_many_texts(batch, top_k=top_k)
