@@ -8,12 +8,17 @@
 // store's IP/cosine semantics; internally negated into a distance.
 //
 // Design notes:
-// - deterministic level assignment from a seeded RNG (reproducible builds)
+// - deterministic level assignment from a seeded RNG (reproducible level
+//   structure even for parallel builds; link order is thread-interleaved)
 // - layer>0 degree cap M, layer0 cap 2M; neighbor selection by the
 //   simple-closest heuristic
 // - flat arrays per node for neighbors (cache-friendly), vectors stored
 //   contiguously; distance loop auto-vectorizes under -O3 -march=native
-// - single-writer build, lock-free concurrent reads after build
+// - lock-free concurrent reads after build; PARALLEL batch construction
+//   uses bucketed per-node mutexes around neighbor-list access plus a
+//   short serial seed phase (hnswlib-style), with all node storage
+//   preallocated before threads start so nothing reallocates underneath
+//   a reader
 
 #include <algorithm>
 #include <atomic>
@@ -108,7 +113,10 @@ class HNSW {
     }
     const float* vec(int32_t id) const { return vectors_.data() + size_t(id) * dim_; }
 
-    void add(const float* v) {
+    // Serial-only: append node storage (vector, level, neighbor slots).
+    // Inner lists reserve their degree caps so parallel linking never
+    // reallocates a list a concurrent (locked) reader copies from.
+    int32_t reserve_node(const float* v) {
         int32_t id = size();
         vectors_.insert(vectors_.end(), v, v + dim_);
         int level = int(-std::log(uniform_(rng_)) * mult_);
@@ -116,21 +124,54 @@ class HNSW {
         neighbors_.emplace_back();
         auto& nbrs = neighbors_.back();
         nbrs.resize(level + 1);
+        for (int l = 0; l <= level; ++l)
+            nbrs[l].reserve(((l == 0) ? M0_ : M_) + 1);
+        return id;
+    }
 
-        if (entry_ < 0) {
+    std::mutex& node_lock(int32_t id) const {
+        return locks_[size_t(id) & (kLockBuckets - 1)];
+    }
+
+    // Connect a reserved node into the graph. LOCKED=true is the
+    // thread-safe path used by parallel batch builds.
+    template <bool LOCKED>
+    void link_node(int32_t id) {
+        const float* v = vec(id);
+        int level = levels_[id];
+
+        int32_t snap_entry;
+        int snap_max;
+        {
+            // consistent (entry, max_level) snapshot
+            std::unique_lock<std::mutex> g(entry_mu_, std::defer_lock);
+            if (LOCKED) g.lock();
+            snap_entry = entry_;
+            snap_max = max_level_;
+        }
+        if (snap_entry < 0) {
             entry_ = id;
             max_level_ = level;
             return;
         }
 
-        int32_t cur = entry_;
+        int32_t cur = snap_entry;
         float cur_d = dist(v, vec(cur));
+        std::vector<int32_t> nbr_copy;
         // greedy descend through layers above `level`
-        for (int l = max_level_; l > level; --l) {
+        for (int l = snap_max; l > level; --l) {
             bool changed = true;
             while (changed) {
                 changed = false;
-                for (int32_t nb : neighbors_[cur][l]) {
+                const std::vector<int32_t>* nbrs;
+                if (LOCKED) {
+                    std::lock_guard<std::mutex> g(node_lock(cur));
+                    nbr_copy = neighbors_[cur][l];
+                    nbrs = &nbr_copy;
+                } else {
+                    nbrs = &neighbors_[cur][l];
+                }
+                for (int32_t nb : *nbrs) {
                     float d = dist(v, vec(nb));
                     if (d < cur_d) {
                         cur_d = d;
@@ -140,9 +181,9 @@ class HNSW {
                 }
             }
         }
-        // insert at each layer <= min(level, max_level_)
-        for (int l = std::min(level, max_level_); l >= 0; --l) {
-            auto top = search_layer(v, cur, efc_, l);
+        // insert at each layer <= min(level, snapshot max)
+        for (int l = std::min(level, snap_max); l >= 0; --l) {
+            auto top = search_layer_impl<LOCKED>(v, cur, efc_, l);
             int cap = (l == 0) ? M0_ : M_;
             std::sort(top.begin(), top.end(),
                       [](const Candidate& a, const Candidate& b) {
@@ -151,24 +192,76 @@ class HNSW {
             // diversity heuristic (Alg. 4): keep a candidate only if it is
             // closer to the query than to every already-selected neighbor
             auto selected = select_heuristic(top, M_);
-            auto& my = nbrs[l];
+            {
+                std::unique_lock<std::mutex> g(node_lock(id), std::defer_lock);
+                if (LOCKED) g.lock();
+                auto& my = neighbors_[id][l];
+                // concurrent inserters may already have back-linked into us
+                for (const Candidate& s : selected) my.push_back(s.id);
+                if (int(my.size()) > cap) prune(id, l, cap);
+            }
             for (const Candidate& s : selected) {
-                my.push_back(s.id);
+                std::unique_lock<std::mutex> g(node_lock(s.id),
+                                               std::defer_lock);
+                if (LOCKED) g.lock();
+                if (l >= int(neighbors_[s.id].size())) continue;
                 auto& theirs = neighbors_[s.id][l];
                 theirs.push_back(id);
                 if (int(theirs.size()) > cap) prune(s.id, l, cap);
             }
             if (!top.empty()) cur = top[0].id;
         }
-        if (level > max_level_) {
-            max_level_ = level;
-            entry_ = id;
+        if (level > snap_max) {
+            std::unique_lock<std::mutex> g(entry_mu_, std::defer_lock);
+            if (LOCKED) g.lock();
+            if (level > max_level_) {
+                max_level_ = level;
+                entry_ = id;
+            }
         }
     }
 
-    // best-first search on one layer; returns up to ef candidates
-    std::vector<Candidate> search_layer(const float* q, int32_t start, int ef,
-                                        int layer) const {
+    void add(const float* v) { link_node<false>(reserve_node(v)); }
+
+    // Parallel batch build: storage for ALL nodes is reserved serially
+    // (deterministic levels), the first `seed` nodes link serially so the
+    // upper layers have structure, then worker threads link the rest with
+    // bucketed per-node locks.
+    void add_batch_parallel(int n, const float* vecs, int nthreads) {
+        bool fresh = entry_ < 0;
+        int32_t first = size();
+        for (int i = 0; i < n; ++i) reserve_node(vecs + size_t(i) * dim_);
+        int seed = std::min(n, fresh ? 1000 : 64);
+        for (int i = 0; i < seed; ++i) link_node<false>(first + i);
+        if (seed >= n) return;
+        std::atomic<int> cursor(seed);
+        auto worker = [&]() {
+            int i;
+            while ((i = cursor.fetch_add(1, std::memory_order_relaxed)) < n)
+                link_node<true>(first + i);
+        };
+        unsigned hw = std::thread::hardware_concurrency();
+        unsigned nt = std::min<unsigned>(
+            nthreads > 0 ? unsigned(nthreads) : (hw ? hw : 1),
+            unsigned(n - seed));
+        if (nt <= 1) {
+            for (int i = seed; i < n; ++i) link_node<false>(first + i);
+            return;
+        }
+        std::vector<std::thread> threads;
+        threads.reserve(nt - 1);
+        for (unsigned t = 0; t + 1 < nt; ++t) threads.emplace_back(worker);
+        worker();
+        for (auto& t : threads) t.join();
+    }
+
+    // best-first search on one layer; returns up to ef candidates.
+    // LOCKED=true copies each neighbor list under its bucket lock (build-
+    // time traversal while writers mutate lists); LOCKED=false is the
+    // lock-free read path for queries on a finished graph.
+    template <bool LOCKED>
+    std::vector<Candidate> search_layer_impl(const float* q, int32_t start,
+                                             int ef, int layer) const {
         auto table = visited_pool_.acquire(size());
         const uint32_t ep = table->epoch;
         uint32_t* st = table->stamps.data();
@@ -178,11 +271,22 @@ class HNSW {
         to_visit.push({d0, start});
         best.push({d0, start});
         st[start] = ep;
+        std::vector<int32_t> nbr_copy;
         while (!to_visit.empty()) {
             Candidate c = to_visit.top();
             if (c.dist > best.top().dist && int(best.size()) >= ef) break;
             to_visit.pop();
-            for (int32_t nb : neighbors_[c.id][layer]) {
+            const std::vector<int32_t>* nbrs;
+            if (LOCKED) {
+                std::lock_guard<std::mutex> g(node_lock(c.id));
+                nbr_copy = (layer < int(neighbors_[c.id].size()))
+                               ? neighbors_[c.id][layer]
+                               : std::vector<int32_t>();
+                nbrs = &nbr_copy;
+            } else {
+                nbrs = &neighbors_[c.id][layer];
+            }
+            for (int32_t nb : *nbrs) {
                 if (st[nb] == ep) continue;
                 st[nb] = ep;
                 float d = dist(q, vec(nb));
@@ -201,6 +305,11 @@ class HNSW {
             best.pop();
         }
         return out;
+    }
+
+    std::vector<Candidate> search_layer(const float* q, int32_t start, int ef,
+                                        int layer) const {
+        return search_layer_impl<false>(q, start, ef, layer);
     }
 
     void search(const float* q, int k, int ef, int32_t* out_idx,
@@ -378,6 +487,11 @@ class HNSW {
     std::vector<int> levels_;
     std::vector<std::vector<std::vector<int32_t>>> neighbors_;
     mutable VisitedPool visited_pool_;
+    // parallel-build synchronization: bucketed per-node mutexes + a
+    // global mutex for the (entry_, max_level_) pair
+    static constexpr size_t kLockBuckets = 65536;
+    mutable std::unique_ptr<std::mutex[]> locks_{new std::mutex[kLockBuckets]};
+    mutable std::mutex entry_mu_;
 };
 
 }  // namespace
@@ -393,6 +507,13 @@ void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
 void hnsw_add_batch(void* h, int n, const float* vecs) {
     HNSW* idx = static_cast<HNSW*>(h);
     for (int i = 0; i < n; ++i) idx->add(vecs + size_t(i) * idx->dim());
+}
+
+// Parallel construction: nthreads<=0 uses all hardware threads. Level
+// structure stays deterministic; link order (and thus exact neighbor
+// sets) is thread-interleaved, recall-equivalent.
+void hnsw_add_batch_parallel(void* h, int n, const float* vecs, int nthreads) {
+    static_cast<HNSW*>(h)->add_batch_parallel(n, vecs, nthreads);
 }
 
 void hnsw_search_batch(void* h, int nq, const float* queries, int k, int ef,

@@ -49,6 +49,10 @@ def load_library() -> ctypes.CDLL:
         lib.hnsw_add_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
         ]
+        lib.hnsw_add_batch_parallel.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int,
+        ]
         lib.hnsw_search_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
             ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
@@ -106,10 +110,18 @@ class HNSWIndex:
         except Exception:
             pass
 
-    def add(self, vectors: np.ndarray) -> None:
+    def add(self, vectors: np.ndarray, threads: int = 0) -> None:
+        """Insert a batch. threads=0 parallelizes across all hardware
+        threads for large batches (lock-based construction with a serial
+        seed phase); threads=1 forces the deterministic serial build."""
         v = np.ascontiguousarray(vectors, dtype=np.float32)
         assert v.ndim == 2 and v.shape[1] == self.dim, v.shape
-        self.lib.hnsw_add_batch(self._h, v.shape[0], _fptr(v))
+        if threads == 1 or v.shape[0] < 2048:
+            self.lib.hnsw_add_batch(self._h, v.shape[0], _fptr(v))
+        else:
+            self.lib.hnsw_add_batch_parallel(
+                self._h, v.shape[0], _fptr(v), threads
+            )
 
     def search(
         self, queries: np.ndarray, k: int, ef_search: int = 64

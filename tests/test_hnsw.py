@@ -179,3 +179,55 @@ class TestWeightedOverfetch:
         flat = store.search(vecs[:2], top_k=5)
         for g_row, f_row in zip(hits, flat):
             assert [h.id for h in g_row] == [h.id for h in f_row]
+
+
+class TestParallelBuild:
+    """Lock-based parallel construction: recall-equivalent graph; the
+    forced 4-thread build exercises the locking even on a 1-core host
+    (preemptive interleaving)."""
+
+    def test_parallel_recall_matches_serial(self):
+        vecs = clustered(4096, 64, seed=31)
+        q = clustered(32, 64, seed=32)
+        exact = np.argsort(-(q @ vecs.T), axis=1)[:, :10]
+
+        ser = HNSWIndex(dim=64, M=16, ef_construction=100)
+        ser.add(vecs, threads=1)
+        par = HNSWIndex(dim=64, M=16, ef_construction=100)
+        par.add(vecs, threads=4)
+        assert len(par) == len(ser) == 4096
+
+        def recall(idx):
+            _, ids = idx.search(q, 10, ef_search=128)
+            return np.mean(
+                [len(set(ids[i]) & set(exact[i])) / 10 for i in range(32)])
+
+        r_ser, r_par = recall(ser), recall(par)
+        assert r_par >= 0.95, r_par
+        assert abs(r_par - r_ser) < 0.05, (r_par, r_ser)
+
+    def test_parallel_save_load_roundtrip(self, tmp_path):
+        vecs = clustered(3000, 32, seed=33)
+        idx = HNSWIndex(dim=32, M=8, ef_construction=64)
+        idx.add(vecs, threads=4)
+        p = str(tmp_path / "par.hnsw")
+        idx.save(p)
+        back = HNSWIndex.load(p)
+        q = vecs[:5]
+        _, a = idx.search(q, 10, 64)
+        _, b = back.search(q, 10, 64)
+        np.testing.assert_array_equal(a, b)
+
+    def test_incremental_parallel_append(self):
+        base = clustered(2500, 32, seed=34)
+        more = clustered(2500, 32, seed=35)
+        idx = HNSWIndex(dim=32, M=8, ef_construction=64)
+        idx.add(base, threads=1)
+        idx.add(more, threads=4)
+        assert len(idx) == 5000
+        allv = np.concatenate([base, more])
+        q = clustered(16, 32, seed=36)
+        exact = np.argsort(-(q @ allv.T), axis=1)[:, :10]
+        _, ids = idx.search(q, 10, ef_search=128)
+        r = np.mean([len(set(ids[i]) & set(exact[i])) / 10 for i in range(16)])
+        assert r >= 0.9, r
