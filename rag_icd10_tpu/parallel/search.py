@@ -36,8 +36,13 @@ class ShardedFlatSearcher:
         self.mesh = mesh
         self.axis = axis
         n_shards = mesh.shape[axis]
-        # pad so rows divide evenly into shards of tile-aligned size
-        multiple = 128 * n_shards
+        # pad so rows divide evenly into shards of tile-aligned size;
+        # TPU shards align to the streaming kernel's 2048-row tiles
+        try:
+            tile = 2048 if jax.default_backend() == "tpu" else 128
+        except Exception:
+            tile = 128
+        multiple = tile * n_shards
         cp, wp, mask = pad_corpus(corpus, weights, multiple=multiple)
         self.n_padded = cp.shape[0]
         row_sharding = NamedSharding(mesh, P(axis, None))
@@ -51,13 +56,27 @@ class ShardedFlatSearcher:
         axis = self.axis
         n_shards = self.mesh.shape[axis]
         shard_rows = self.n_padded // n_shards
+        # on real TPU shards, select in-kernel so the per-shard (B, N/s)
+        # score matrix never reaches HBM (ops/pallas_score.streaming_topk);
+        # CPU meshes (tests, dryruns) use the plain XLA path
+        use_streaming = (
+            jax.default_backend() == "tpu"
+            and k <= 128
+            and shard_rows % 2048 == 0
+        )
 
         def shard_fn(q, corpus, weights, mask):
-            # per-shard weighted scores + local top-k
-            scores = jnp.dot(
-                q, corpus.T, preferred_element_type=jnp.float32
-            ) * weights[None, :] + mask[None, :]
-            vals, idx = jax.lax.top_k(scores, k)
+            if use_streaming:
+                from ..ops.pallas_score import streaming_topk
+
+                vals, idx = streaming_topk(
+                    q, corpus, weights, mask, k=k, tile_n=2048
+                )
+            else:
+                scores = jnp.dot(
+                    q, corpus.T, preferred_element_type=jnp.float32
+                ) * weights[None, :] + mask[None, :]
+                vals, idx = jax.lax.top_k(scores, k)
             # localize -> globalize indices
             shard_id = jax.lax.axis_index(axis)
             idx = idx + shard_id * shard_rows
