@@ -136,8 +136,10 @@ class StoreConfig:
     search_method: str = field(
         default_factory=lambda: _env("SEARCH_METHOD", "exact")
     )
-    # device residency dtype for the corpus matrix: float32 (exact) or
-    # bfloat16 (half the HBM, ~3e-3 relative score error)
+    # device residency dtype for the corpus matrix: float32 (exact),
+    # bfloat16 (half the HBM, ~3e-3 relative score error), or int8
+    # (quarter the HBM, per-row scales, int8 MXU; ~1e-2 error,
+    # recall@10 >= 0.99 — ops/quantized.py)
     device_dtype: str = field(
         default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
     )

@@ -236,6 +236,20 @@ class VectorStore:
         cp, wp, m = pad_corpus(
             self._vectors, weights, multiple=self.config.pad_multiple
         )
+        if self.config.device_dtype == "int8":
+            # symmetric per-row quantization: 4x less HBM than fp32
+            # (ops/quantized.py; FAISS-SQ8 analog, int8 MXU contraction)
+            from ..ops.quantized import quantize_rows
+
+            q, scale = quantize_rows(cp)
+            self._dev = {
+                "corpus_q": jax.device_put(q),
+                "scale": jax.device_put(scale),
+                "weights": jax.device_put(wp),
+                "mask": jax.device_put(m),
+            }
+            self._loaded = True
+            return True
         if self.config.device_dtype == "bfloat16":
             import jax.numpy as jnp
 
@@ -309,6 +323,35 @@ class VectorStore:
         q_pad[:b] = q
         if self._sharded is not None:
             vals, idx = self._sharded.search(q_pad, k=k_pad)
+        elif self._dev is not None and "corpus_q" in self._dev:
+            # two-stage quantized scan: int8 MXU over-fetch (4k) on device,
+            # exact fp32 re-rank of the tiny candidate set against the
+            # HOST-resident matrix — device HBM stays 1/4 of fp32 while
+            # results match the exact path (int8-only recall@10 measured
+            # ~0.98 worst-case on rank-tight random data)
+            from ..ops.quantized import int8_search
+
+            k_fetch = min(4 * k_pad, self.num_entities)
+            _, idx_q = int8_search(
+                q_pad,
+                self._dev["corpus_q"],
+                self._dev["scale"],
+                self._dev["weights"],
+                self._dev["mask"],
+                k=k_fetch,
+                method="approx" if method == "approx" else "exact",
+            )
+            idx_q = np.asarray(idx_q)[:b]
+            weights_h = self.corpus.level_weights(self.config.level_weights)
+            safe = np.clip(idx_q, 0, self.num_entities - 1)
+            cand = self._vectors[safe]  # (b, k_fetch, D) host gather
+            exact = np.einsum("bd,bkd->bk", q, cand) * weights_h[safe]
+            exact = np.where(idx_q >= 0, exact, -np.inf)
+            order = np.argsort(-exact, axis=1)[:, :k_eff]
+            vals = np.take_along_axis(exact, order, axis=1)
+            idx = np.take_along_axis(idx_q, order, axis=1)
+            self._searches += b
+            return self.build_hits(vals, idx)
         elif _use_pallas():
             vals, idx = fused_search(
                 q_pad,

@@ -31,11 +31,13 @@ class FusedQueryEngine:
 
     @staticmethod
     def supports(encoder, store) -> bool:
+        dev = getattr(store, "_dev", None)
         return (
             hasattr(encoder, "model")
             and hasattr(encoder, "params")
             and hasattr(encoder, "tokenizer")
-            and getattr(store, "_dev", None) is not None
+            and dev is not None
+            and "corpus" in dev  # fp32/bf16 residency (int8 has its own path)
             and store.config.index_type.upper() == "FLAT"
         )
 
