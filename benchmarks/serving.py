@@ -78,6 +78,7 @@ def main() -> None:
     parser.add_argument("--clients", type=int, default=32)
     parser.add_argument("--requests", type=int, default=320)
     parser.add_argument("--port", type=int, default=int(os.getenv("API_PORT", "8005")))
+    parser.add_argument("--out", default=None, help="also write JSON artifact")
     args = parser.parse_args()
     base = f"http://localhost:{args.port}"
 
@@ -94,6 +95,9 @@ def main() -> None:
             )
         result = asyncio.run(run(base, args.clients, args.requests))
         print(json.dumps({"serving": result}, ensure_ascii=False))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump({"serving": result}, f, indent=2)
     finally:
         if proc is not None:
             proc.kill()

@@ -68,11 +68,23 @@ class APIClient:
     def check_health(self) -> Dict[str, Any]:
         return self._request("GET", "/health")
 
-    def query_diagnosis(self, text: str, top_k: int = 5) -> Dict[str, Any]:
+    def query_diagnosis(
+        self,
+        text: str,
+        top_k: int = 5,
+        search_method: str = None,
+        ef_search: int = None,
+    ) -> Dict[str, Any]:
         """POST /query (reference: ui/api_client.py:107-133; the reference
         also sends an `enhanced_processing` flag the server ignores —
-        dropped here)."""
-        return self._request("POST", "/query", {"text": text, "top_k": top_k})
+        dropped here). ``search_method`` (exact/approx/streaming/hnsw) and
+        ``ef_search`` are per-request index-knob overrides."""
+        payload: Dict[str, Any] = {"text": text, "top_k": top_k}
+        if search_method is not None:
+            payload["search_method"] = search_method
+        if ef_search is not None:
+            payload["ef_search"] = ef_search
+        return self._request("POST", "/query", payload)
 
     def standardize_diagnosis(
         self, text: str, top_k: int = 10, llm_provider: str = "deepseek"
