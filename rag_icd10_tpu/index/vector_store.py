@@ -532,15 +532,26 @@ class VectorStore:
         }
 
     def get_memory_usage(self) -> Dict:
-        """Estimate = n·dim·4 bytes (formula parity: milvus_service.py:515)."""
+        """Estimate = n·dim·4 bytes (formula parity: milvus_service.py:515);
+        ``device_vector_bytes`` is the ACTUAL residency cost under the
+        configured dtype (bf16 halves, int8 quarters + per-row scales)."""
         vector_bytes = self.num_entities * self.dim * 4
+        per_elem = {"float32": 4, "bfloat16": 2, "int8": 1}.get(
+            self.config.device_dtype, 4
+        )
+        device_bytes = self.num_entities * self.dim * per_elem
+        if self.config.device_dtype == "int8":
+            device_bytes += self.num_entities * 4  # per-row scales
         return {
             "num_entities": self.num_entities,
             "dim": self.dim,
             "estimated_vector_memory_bytes": vector_bytes,
             "estimated_vector_memory_mb": round(vector_bytes / 1024 / 1024, 2),
+            "device_vector_bytes": device_bytes,
+            "device_vector_mb": round(device_bytes / 1024 / 1024, 2),
             "device_resident": self._loaded,
             "device_dtype": self.config.device_dtype,
+            "sharded": self._sharded is not None,
         }
 
     def health_check(self) -> Dict:
