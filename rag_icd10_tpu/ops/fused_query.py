@@ -47,11 +47,28 @@ class FusedQueryEngine:
             return self._jit_cache[key]
         model = self.encoder.model
         on_tpu = jax.default_backend() == "tpu"
-        from .pallas_score import default_tile_n, fused_weighted_scores
+        from .pallas_score import (
+            default_tile_n,
+            fused_weighted_scores,
+            streaming_topk,
+        )
 
         @jax.jit
         def fused(params, ids, mask, types, corpus, weights, maskv):
             emb = model.apply({"params": params}, ids, mask, types)  # (B, D)
+            if (
+                on_tpu
+                and method == "streaming"
+                and k <= 128
+                and corpus.shape[0] % 2048 == 0
+            ):
+                # tokens -> BERT -> in-kernel top-k, one program, the
+                # (B, N) score matrix never exists anywhere
+                vals, idx = streaming_topk(
+                    emb.astype(corpus.dtype), corpus, weights, maskv,
+                    k=k, tile_n=2048,
+                )
+                return emb, vals, idx
             if on_tpu:
                 tile_n = default_tile_n(
                     ids.shape[0],
