@@ -228,6 +228,7 @@ class HNSW {
     // upper layers have structure, then worker threads link the rest with
     // bucketed per-node locks.
     void add_batch_parallel(int n, const float* vecs, int nthreads) {
+        if (!locks_) locks_.reset(new std::mutex[kLockBuckets]);
         bool fresh = entry_ < 0;
         int32_t first = size();
         for (int i = 0; i < n; ++i) reserve_node(vecs + size_t(i) * dim_);
@@ -365,6 +366,7 @@ class HNSW {
             for (const auto& layer : per_node)
                 b += layer.capacity() * sizeof(int32_t);
         }
+        if (locks_) b += kLockBuckets * sizeof(std::mutex);
         return b;
     }
 
@@ -487,10 +489,11 @@ class HNSW {
     std::vector<int> levels_;
     std::vector<std::vector<std::vector<int32_t>>> neighbors_;
     mutable VisitedPool visited_pool_;
-    // parallel-build synchronization: bucketed per-node mutexes + a
+    // parallel-build synchronization: bucketed per-node mutexes (lazily
+    // allocated — load()-ed/query-only indexes never pay the array) + a
     // global mutex for the (entry_, max_level_) pair
     static constexpr size_t kLockBuckets = 65536;
-    mutable std::unique_ptr<std::mutex[]> locks_{new std::mutex[kLockBuckets]};
+    mutable std::unique_ptr<std::mutex[]> locks_;
     mutable std::mutex entry_mu_;
 };
 

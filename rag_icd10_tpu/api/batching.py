@@ -63,6 +63,18 @@ class RequestBatcher:
         drain_timeout_s: float = 10.0,
     ):
         self.matcher_fn = matcher_fn
+        # probe knob support ONCE (a live-call TypeError fallback would
+        # mask real TypeErrors from inside the matcher and silently drop
+        # the requested knobs)
+        try:
+            import inspect
+
+            params = inspect.signature(matcher_fn).parameters
+            self._knob_aware = "search_method" in params or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD for p in params.values()
+            )
+        except (TypeError, ValueError):
+            self._knob_aware = False
         self.window_s = window_ms / 1000.0
         self.max_batch = max_batch
         self.max_queue = max_queue
@@ -151,30 +163,40 @@ class RequestBatcher:
     async def _worker(self) -> None:
         while True:
             first = await self.queue.get()
-            batch = [first]
-            deadline = asyncio.get_event_loop().time() + self.window_s
-            while len(batch) < self.max_batch:
-                timeout = deadline - asyncio.get_event_loop().time()
-                if timeout <= 0:
-                    break
-                try:
-                    batch.append(
-                        await asyncio.wait_for(self.queue.get(), timeout=timeout)
-                    )
-                except asyncio.TimeoutError:
-                    break
-            # group by search-knob key; each group is one device batch
-            groups: Dict[Tuple, List[_Pending]] = {}
-            for p in batch:
-                groups.setdefault(p.key, []).append(p)
+            # busy from the moment a request is dequeued: stop()'s drain
+            # must not cancel us while collected requests sit in the
+            # coalescing window (their futures would never resolve)
             self._busy = True
+            batch = [first]
             try:
+                deadline = asyncio.get_event_loop().time() + self.window_s
+                while len(batch) < self.max_batch:
+                    timeout = deadline - asyncio.get_event_loop().time()
+                    if timeout <= 0:
+                        break
+                    try:
+                        batch.append(
+                            await asyncio.wait_for(self.queue.get(), timeout=timeout)
+                        )
+                    except asyncio.TimeoutError:
+                        break
+                # group by search-knob key; each group is one device batch
+                groups: Dict[Tuple, List[_Pending]] = {}
+                for p in batch:
+                    groups.setdefault(p.key, []).append(p)
                 for (method, ef), group in groups.items():
                     await self._run_group(group, method, ef)
+                self.batches_served += len(groups)
+                self.requests_served += len(batch)
+            except asyncio.CancelledError:
+                for pending in batch:
+                    if not pending.future.done():
+                        pending.future.set_exception(
+                            BatcherTimeout("server shutting down")
+                        )
+                raise
             finally:
                 self._busy = False
-            self.batches_served += len(groups)
-            self.requests_served += len(batch)
 
     async def _run_group(self, group: List[_Pending], method, ef) -> None:
         # requests may ask different top_k: run at the max, slice later
@@ -182,14 +204,11 @@ class RequestBatcher:
         texts = [p.text for p in group]
 
         def call():
-            if method is None and ef is None:
+            if (method is None and ef is None) or not self._knob_aware:
                 return self.matcher_fn(texts, top_k)
-            try:
-                return self.matcher_fn(
-                    texts, top_k, search_method=method, ef_search=ef
-                )
-            except TypeError:  # matcher without knob support
-                return self.matcher_fn(texts, top_k)
+            return self.matcher_fn(
+                texts, top_k, search_method=method, ef_search=ef
+            )
 
         try:
             results = await asyncio.get_event_loop().run_in_executor(

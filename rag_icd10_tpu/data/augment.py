@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from functools import lru_cache
 from typing import List, Optional, Sequence, Tuple
 
 # (formal term as it appears in ICD titles, colloquial/legacy variant).
@@ -88,12 +89,19 @@ def _is_eval_pair(pair: Tuple[str, str]) -> bool:
     return int(digest, 16) % 3 == 0
 
 
+@lru_cache(maxsize=1)
+def _split_pairs() -> Tuple[Tuple[Tuple[str, str], ...], Tuple[Tuple[str, str], ...]]:
+    train = tuple(p for p in SYNONYM_PAIRS if not _is_eval_pair(p))
+    evl = tuple(p for p in SYNONYM_PAIRS if _is_eval_pair(p))
+    return train, evl
+
+
 def train_synonyms() -> List[Tuple[str, str]]:
-    return [p for p in SYNONYM_PAIRS if not _is_eval_pair(p)]
+    return list(_split_pairs()[0])
 
 
 def eval_synonyms() -> List[Tuple[str, str]]:
-    return [p for p in SYNONYM_PAIRS if _is_eval_pair(p)]
+    return list(_split_pairs()[1])
 
 
 def apply_synonym(text: str, pairs: Sequence[Tuple[str, str]]) -> Optional[str]:
@@ -147,7 +155,7 @@ def augment_train(title: str, rng) -> Optional[str]:
     """
     choice = int(rng.integers(0, 3))
     if choice == 0:
-        out = apply_synonym(title, train_synonyms())
+        out = apply_synonym(title, _split_pairs()[0])
         if out:
             return out
     if choice == 1:

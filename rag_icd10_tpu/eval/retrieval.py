@@ -207,7 +207,7 @@ def evaluate(
             "n": len(queries),
             "recall@1": round(_recall_at(hit_titles, golds, 1), 4),
             "recall@5": round(_recall_at(hit_titles, golds, 5), 4),
-            "recall@10": round(_recall_at(hit_titles, golds, top_k), 4),
+            f"recall@{top_k}": round(_recall_at(hit_titles, golds, top_k), 4),
         }
         if matcher is not None:
             entry["pipeline_top1"] = round(

@@ -38,8 +38,14 @@ def load_library() -> ctypes.CDLL:
     with _lock:
         if _lib is not None:
             return _lib
-        if not _LIB_PATH.exists():
+        # always run make: it is a no-op when the .so is current, and it
+        # rebuilds a stale pre-upgrade binary that would otherwise be
+        # missing newly added symbols (AttributeError on every HNSW path)
+        try:
             _build_library()
+        except Exception:
+            if not _LIB_PATH.exists():
+                raise
         lib = ctypes.CDLL(str(_LIB_PATH))
         lib.hnsw_create.restype = ctypes.c_void_p
         lib.hnsw_create.argtypes = [

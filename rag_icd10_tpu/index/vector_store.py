@@ -446,6 +446,7 @@ class VectorStore:
         idx = self.build_hnsw()
         weights = self.corpus.level_weights(self.config.level_weights)
         max_w = float(np.max(self.config.level_weights))
+        min_w = float(np.min(self.config.level_weights))
         n = self.num_entities
         k_fetch = min(2 * k_eff, n)
         while True:
@@ -458,7 +459,12 @@ class VectorStore:
             weighted = np.where(valid, ips * w_rows, -np.inf)
             kth_weighted = -np.sort(-weighted, axis=1)[:, k_eff - 1]
             last_raw = np.where(valid, ips, np.inf).min(axis=1)
-            if np.all(kth_weighted >= last_raw * max_w - 1e-6):
+            # any unfetched row has raw IP <= last_raw; its weighted score
+            # is bounded by last_raw*max_w when last_raw >= 0 but by
+            # last_raw*MIN_w when negative (a negative score shrinks
+            # toward zero under a small weight)
+            bound = np.where(last_raw >= 0, last_raw * max_w, last_raw * min_w)
+            if np.all(kth_weighted >= bound - 1e-6):
                 break
             k_fetch = min(2 * k_fetch, n)
         self._searches += q.shape[0]

@@ -97,6 +97,30 @@ class DiagnosisMatch:
         }
 
 
+def _store_knob_aware(store) -> bool:
+    """Signature probe (cached per store type): duck-typed mock stores in
+    tests may not accept the per-request knobs; a live-call TypeError
+    fallback would mask genuine TypeErrors from inside the store."""
+    cls = type(store)
+    cached = _KNOB_AWARE_CACHE.get(cls)
+    if cached is None:
+        import inspect
+
+        try:
+            params = inspect.signature(store.search).parameters
+            cached = "ef_search" in params or any(
+                p.kind == inspect.Parameter.VAR_KEYWORD
+                for p in params.values()
+            )
+        except (TypeError, ValueError):
+            cached = False
+        _KNOB_AWARE_CACHE[cls] = cached
+    return cached
+
+
+_KNOB_AWARE_CACHE: Dict[type, bool] = {}
+
+
 class MultiDiagnosisService:
     """Batched multi-diagnosis matching over encoder + vector store."""
 
@@ -257,15 +281,15 @@ class MultiDiagnosisService:
                         self.encoder.encode_queries(flat_diagnoses)
                     )
                 with metrics.timer("search"):
-                    try:
+                    if (
+                        search_method is None and ef_search is None
+                    ) or not _store_knob_aware(self.store):
+                        all_hits = self.store.search(query_vecs, k_fetch)
+                    else:
                         all_hits = self.store.search(
                             query_vecs, k_fetch,
                             method=search_method, ef_search=ef_search,
                         )
-                    except TypeError:
-                        # duck-typed mock stores in tests may not accept
-                        # the per-request knobs
-                        all_hits = self.store.search(query_vecs, k_fetch)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
 

@@ -231,3 +231,38 @@ class TestParallelBuild:
         _, ids = idx.search(q, 10, ef_search=128)
         r = np.mean([len(set(ids[i]) & set(exact[i])) / 10 for i in range(16)])
         assert r >= 0.9, r
+
+
+class TestNegativeScoreBound:
+    """Regression (review finding): the over-fetch certification bound
+    must use min_weight for NEGATIVE raw IPs — a small level weight
+    shrinks a negative score toward zero, so an unfetched level-3 row can
+    outrank fetched rows."""
+
+    def test_negative_raw_level3_leapfrog(self):
+        # 8 level-2 rows raw -0.50..-0.57 (weighted the same); 4 level-3
+        # rows raw ~-0.51 -> weighted x0.8 = -0.41, better than ALL
+        # level-2 rows despite worse raw rank
+        rows = [{"code": f"A0.{i}", "disease": f"病{i}"} for i in range(8)]
+        rows += [
+            {"code": f"B1.{10 + i}", "disease": f"丙病{i}"} for i in range(4)
+        ]  # two dots-free? "B1.10" one dot, 2 chars -> level 3
+        from rag_icd10_tpu.data.corpus import ICDCorpus
+
+        corpus = ICDCorpus.from_rows(rows)
+        assert int(corpus.levels[8]) == 3
+        d = 16
+        ips = [-0.50 - 0.01 * i for i in range(8)] + [-0.51, -0.52, -0.53, -0.54]
+        vecs = np.zeros((len(corpus), d), np.float32)
+        for i, ip in enumerate(ips):
+            vecs[i, 0] = ip
+            vecs[i, 1 + i % (d - 1)] = np.sqrt(1 - ip * ip)
+        q = np.zeros((1, d), np.float32)
+        q[0, 0] = 1.0
+        store = VectorStore(dim=d, config=StoreConfig(pad_multiple=64))
+        store.insert_records(list(corpus.records()), vecs)
+        flat = store.search(q, top_k=4)[0]
+        graph = store.search(q, top_k=4, method="hnsw", ef_search=64)[0]
+        # the level-3 rows win in both paths
+        assert [h.id for h in flat] == [8, 9, 10, 11]
+        assert [h.id for h in graph] == [h.id for h in flat]
