@@ -161,21 +161,33 @@ def fused_search(
 
 def _extract_topk_into(oval_ref, oidx_ref, cand_vals, cand_idx, k: int):
     """Vectorized k-step max extraction: writes descending top-k of the
-    (B, C) candidates into the output refs. No gathers — first-occurrence
-    one-hot masks select values and indices."""
+    (B, C) candidates into the output refs. No gathers and no dynamic
+    lane stores (Mosaic-hostile) — first-occurrence one-hot masks select
+    values/indices, and the output accumulates through the loop carry via
+    one-hot column merges, written to the refs once at the end."""
     b, c = cand_vals.shape
     col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
+    out_col = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+    init = (
+        cand_vals,
+        jnp.full((b, k), -jnp.inf, jnp.float32),
+        jnp.full((b, k), -1, jnp.int32),
+    )
 
-    def body(i, vals):
+    def body(i, state):
+        vals, out_v, out_i = state
         m = jnp.max(vals, axis=1, keepdims=True)  # (B, 1)
         amax = jnp.argmax(vals, axis=1)  # first max column (B,)
         first = col == amax[:, None]  # (B, C) one-hot
         chosen_idx = jnp.max(jnp.where(first, cand_idx, -1), axis=1)
-        oval_ref[:, pl.ds(i, 1)] = m
-        oidx_ref[:, pl.ds(i, 1)] = chosen_idx[:, None]
-        return jnp.where(first, -jnp.inf, vals)
+        slot = out_col == i  # (B, K) one-hot output column
+        out_v = jnp.where(slot, m, out_v)
+        out_i = jnp.where(slot, chosen_idx[:, None], out_i)
+        return jnp.where(first, -jnp.inf, vals), out_v, out_i
 
-    jax.lax.fori_loop(0, k, body, cand_vals)
+    _, out_v, out_i = jax.lax.fori_loop(0, k, body, init)
+    oval_ref[:] = out_v
+    oidx_ref[:] = out_i
 
 
 def _make_streaming_kernel(k: int, tile_n: int, precision):
