@@ -96,13 +96,10 @@ def build_eval_set(
 ) -> List[EvalTier]:
     """Corpus -> deterministic tiered eval set (no training-seen
     transforms; see data/augment.py for the train/eval split)."""
-    title_set: Dict[str, Set[str]] = {}
-
     def gold(i: int) -> Set[str]:
-        t = corpus.titles[i]
-        if t not in title_set:
-            title_set[t] = {t}
-        return title_set[t]
+        # title-level gold: any hit whose title matches the source title
+        # is correct (duplicate-title codes are indistinguishable)
+        return {corpus.titles[i]}
 
     tiers: List[EvalTier] = []
     rng = np.random.default_rng(seed)
@@ -148,11 +145,11 @@ def build_eval_set(
         for i in _title_sample(corpus, len(corpus), seed + 3, min_len=3)
         if not (_seps & set(corpus.titles[i]))
     ][: n_multi * 3]
-    for j in range(0, min(len(pool) - 2, n_multi * 3 - 2), 3):
+    for group, j in enumerate(range(0, min(len(pool) - 2, n_multi * 3 - 2), 3)):
         if len(multi.cases) >= n_multi:
             break
         parts = [corpus.titles[i] for i in pool[j : j + (2 if j % 2 else 3)]]
-        sep = MULTI_SEPARATORS[j % len(MULTI_SEPARATORS)]
+        sep = MULTI_SEPARATORS[group % len(MULTI_SEPARATORS)]
         query = sep.join(parts)
         # one EvalCase per sub-diagnosis, all sharing the joined query
         for i in pool[j : j + len(parts)]:
@@ -218,8 +215,10 @@ def evaluate(
 
 
 def _pipeline_top1(matcher, tier: EvalTier, batch: int = 64) -> float:
-    """Full-pipeline top-1 accuracy: the best candidate of the first
-    extracted diagnosis must carry a gold title."""
+    """Full-pipeline top-1 accuracy, STRICT: the best candidate of the
+    FIRST extracted diagnosis must carry a gold title — if extraction
+    over-splits a single-mention query, the case counts as wrong (that is
+    exactly the failure mode this metric should expose)."""
     ok, n = 0, 0
     cases = tier.cases
     for lo in range(0, len(cases), batch):
@@ -227,10 +226,13 @@ def _pipeline_top1(matcher, tier: EvalTier, batch: int = 64) -> float:
         results = matcher.match_many_texts([c.query for c in chunk], top_k=5)
         for case, res in zip(chunk, results):
             n += 1
-            for m in res.get("matches", []):
-                if m.candidates and m.candidates[0].title in case.gold_titles:
-                    ok += 1
-                    break
+            matches = res.get("matches", [])
+            if (
+                matches
+                and matches[0].candidates
+                and matches[0].candidates[0].title in case.gold_titles
+            ):
+                ok += 1
     return ok / max(n, 1)
 
 

@@ -44,18 +44,30 @@ def _make_score_kernel(precision):
 
 
 def default_tile_n(
-    batch: int, n: int, dtype_bytes: int = 4, cap: int = 2048, dim: int = 768
+    batch: int,
+    n: int,
+    dtype_bytes: int = 4,
+    cap: int = 2048,
+    dim: int = 768,
+    temporaries: int = 2,
 ) -> int:
     """Largest corpus tile whose double-buffered VMEM footprint
-    (2 corpus tiles + 2 output blocks + query block) stays under ~13 MB."""
+    (2 corpus tiles + ``temporaries`` (B, tile) fp32 blocks + query
+    block) stays under ~13 MB. Raises when no tile in [128, cap]
+    divides N within budget — callers pad the corpus to a power-of-two
+    multiple (ops.pad_corpus) precisely so a divisor exists."""
     budget = 13 * 1024 * 1024 - batch * dim * dtype_bytes
     tile = cap
-    while tile > 128:
-        need = 2 * tile * dim * dtype_bytes + 2 * batch * tile * 4
+    while tile >= 128:
+        need = 2 * tile * dim * dtype_bytes + temporaries * batch * tile * 4
         if need <= budget and n % tile == 0:
-            break
+            return tile
         tile //= 2
-    return tile
+    raise ValueError(
+        f"no corpus tile in [128, {cap}] divides N={n} within the VMEM "
+        f"budget at batch={batch}, dim={dim} — pad the corpus with "
+        "ops.pad_corpus or reduce the batch"
+    )
 
 
 @partial(jax.jit, static_argnames=("tile_n", "exact"))
@@ -121,16 +133,27 @@ def fused_search(
     tile_n=0 auto-sizes the corpus tile to the VMEM budget.
     method "streaming" (k <= 128) selects in-kernel: the (B, N) score
     matrix never reaches HBM — the scaling path for huge corpora."""
+    if method == "streaming" and k <= 128:
+        if tile_n == 0:
+            # the streaming kernel keeps more (B, tile) temporaries live
+            # than the materialized scan (scores + two masked copies +
+            # iota/masks + the fallback's extraction buffers)
+            tile_n = default_tile_n(
+                queries.shape[0],
+                corpus.shape[0],
+                corpus.dtype.itemsize,
+                dim=corpus.shape[1],
+                temporaries=10,
+            )
+        return streaming_topk(
+            queries, corpus, weights, mask, k=k, tile_n=tile_n, exact=exact
+        )
     if tile_n == 0:
         tile_n = default_tile_n(
             queries.shape[0],
             corpus.shape[0],
             corpus.dtype.itemsize,
             dim=corpus.shape[1],
-        )
-    if method == "streaming" and k <= 128:
-        return streaming_topk(
-            queries, corpus, weights, mask, k=k, tile_n=tile_n, exact=exact
         )
     scores = fused_weighted_scores(
         queries, corpus, weights, mask, tile_n=tile_n, exact=exact

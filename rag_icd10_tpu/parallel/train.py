@@ -64,8 +64,15 @@ def contrastive_loss_masked(
     """
     b = za.shape[0]
     logits_pos = (za @ zb.T) / temperature  # (B, B)
-    same = (group_a[:, None] == group_a[None, :]) | (
-        group_b[:, None] == group_b[None, :]
+    # collide on anchor-anchor, positive-positive AND the cross terms:
+    # anchor i's title equal to the title of the record behind positive j
+    # (e.g. a parent-pair row whose parent is titled like another row's
+    # anchor) also makes zb[j] a valid positive for anchor i
+    same = (
+        (group_a[:, None] == group_a[None, :])
+        | (group_b[:, None] == group_b[None, :])
+        | (group_a[:, None] == group_b[None, :])
+        | (group_b[:, None] == group_a[None, :])
     )
     off_diag = ~jnp.eye(b, dtype=bool)
     logits_pos = jnp.where(same & off_diag, -1e9, logits_pos)
@@ -100,6 +107,13 @@ def make_train_step(arch: BertArch, optimizer, temperature: float = 0.05):
     model = SentenceBert(arch)
 
     def loss_fn(params, batch):
+        if "h_ids" in batch and "group_a" not in batch:
+            raise ValueError(
+                "hard-negative batches require group_a/group_b/h_group "
+                "(plain InfoNCE would silently ignore the hard negatives)"
+            )
+        if "group_a" in batch and "h_ids" in batch and "h_group" not in batch:
+            raise ValueError("h_ids given without h_group title ids")
         if "h_ids" in batch:
             ids = jnp.concatenate([batch["a_ids"], batch["h_ids"]], axis=0)
             msk = jnp.concatenate([batch["a_mask"], batch["h_mask"]], axis=0)
@@ -133,27 +147,57 @@ def make_train_step(arch: BertArch, optimizer, temperature: float = 0.05):
     return train_step
 
 
+def opt_state_shardings(mesh: Mesh, params, opt_state):
+    """Shardings for an optax state tree: leaves that live inside a
+    param-shaped subtree (Adam mu/nu mirror the param tree paths) get the
+    matching param sharding; scalars/counters replicate. Replicating the
+    whole state (2x param bytes for Adam) would defeat TP's memory
+    savings."""
+    from .mesh import _spec_for_path
+
+    p_shards = {}
+    for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]:
+        keys = tuple(_key_str(k) for k in path)
+        p_shards[keys] = NamedSharding(mesh, _spec_for_path("/".join(keys)))
+
+    def lookup(path, leaf):
+        keys = tuple(_key_str(k) for k in path)
+        # match the longest param-path suffix (mu/nu nest the param tree
+        # under a state-tuple prefix)
+        for start in range(len(keys)):
+            if keys[start:] in p_shards and getattr(leaf, "shape", None):
+                return p_shards[keys[start:]]
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(lookup, opt_state)
+
+
+def _key_str(k) -> str:
+    for attr in ("key", "name", "idx"):
+        if hasattr(k, attr):
+            return str(getattr(k, attr))
+    return str(k)
+
+
 def init_train_state(
     arch: BertArch,
     mesh: Optional[Mesh] = None,
     learning_rate: float = 2e-5,
     seed: int = 0,
+    optimizer=None,
 ):
     """Initialize (params, opt_state, optimizer), device-sharded if a mesh
-    is given."""
+    is given. Pass ``optimizer`` to keep a caller-built schedule (e.g.
+    warmup-cosine) instead of the plain adamw default."""
     params = init_params(arch, seed=seed)
-    optimizer = optax.adamw(learning_rate, weight_decay=0.01)
+    if optimizer is None:
+        optimizer = optax.adamw(learning_rate, weight_decay=0.01)
     opt_state = optimizer.init(params)
     if mesh is not None:
         shardings = param_shardings(mesh, params)
         params = jax.device_put(params, shardings)
-        # optimizer state mirrors param sharding where shaped like params
         opt_state = jax.device_put(
-            opt_state,
-            jax.tree_util.tree_map(
-                lambda x: NamedSharding(mesh, P()), opt_state,
-                is_leaf=lambda x: hasattr(x, "shape"),
-            ),
+            opt_state, opt_state_shardings(mesh, params, opt_state)
         )
     return params, opt_state, optimizer
 
@@ -169,25 +213,19 @@ def make_sharded_train_step(
     train_step = make_train_step(arch, optimizer, temperature)
     dummy = init_params(arch, seed=0)
     p_shard = param_shardings(mesh, dummy)
-    del dummy
     b_shard = batch_sharding(mesh)
-    o_shard = NamedSharding(mesh, P())
 
     def batch_shardings(batch):
         return {k: b_shard for k in batch}
 
     def compiled(params, opt_state, batch):
+        o_shard = opt_state_shardings(mesh, dummy, opt_state)
         fn = jax.jit(
             train_step,
-            in_shardings=(
-                p_shard,
-                jax.tree_util.tree_map(
-                    lambda x: o_shard, opt_state,
-                    is_leaf=lambda x: hasattr(x, "shape"),
-                ),
-                batch_shardings(batch),
-            ),
-            out_shardings=(p_shard, None, None),
+            in_shardings=(p_shard, o_shard, batch_shardings(batch)),
+            # pin the opt-state output layout too, or XLA picks its own
+            # and every step pays a reshard back to the input layout
+            out_shardings=(p_shard, o_shard, None),
             donate_argnums=(0, 1),
         )
         return fn(params, opt_state, batch)

@@ -230,8 +230,10 @@ def main(argv=None) -> int:
         from ..parallel.train import init_train_state, make_sharded_train_step
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
+        # keep the warmup-cosine optimizer and --seed (init_train_state
+        # would otherwise rebuild both with defaults)
         params, opt_state, optimizer = init_train_state(
-            arch, mesh=mesh, learning_rate=args.lr
+            arch, mesh=mesh, seed=args.seed, optimizer=optimizer
         )
         step_fn = make_sharded_train_step(arch, mesh, optimizer)
         b_shard = batch_sharding(mesh)
@@ -256,14 +258,20 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
     n_examples = len(pairs) if args.plain_pairs else len(examples)
     order = rng.permutation(n_examples)
+    cursor = 0
     t0 = time.time()
     losses = []
     for step in range(args.steps):
-        lo = (step * args.batch) % n_examples
-        idx = order[lo : lo + args.batch]
-        if len(idx) < args.batch:  # wrap + reshuffle each epoch
+        # epoch-clean cursor: consume the tail of the old permutation and
+        # top up from a fresh one (no skipped tail / double-sampled head)
+        if cursor + args.batch <= n_examples:
+            idx = order[cursor : cursor + args.batch]
+            cursor += args.batch
+        else:
+            tail = order[cursor:]
             order = rng.permutation(n_examples)
-            idx = order[: args.batch]
+            cursor = args.batch - len(tail)
+            idx = np.concatenate([tail, order[:cursor]])
         if args.plain_pairs:
             batch_pairs = [pairs[i] for i in idx]
             batch = make_pair_batch(
