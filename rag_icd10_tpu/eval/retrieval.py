@@ -78,10 +78,21 @@ class EvalTier:
     cases: List[EvalCase] = field(default_factory=list)
 
 
+_SEP_CHARS = set("，,；;+＋ \t")
+
+
 def _title_sample(corpus, n: int, seed: int, min_len: int = 2) -> List[int]:
-    """Deterministic stratified sample of record indices across levels."""
+    """Deterministic sample of record indices. Titles containing the
+    pipeline's separator characters are excluded from EVERY tier: the
+    extraction contract (reference tools/text_processor.py:29-33) splits
+    on them, so such queries are ambiguous-by-design — they measure the
+    split contract, not retrieval quality."""
     rng = np.random.default_rng(seed)
-    idx = [i for i, t in enumerate(corpus.titles) if len(t) >= min_len]
+    idx = [
+        i
+        for i, t in enumerate(corpus.titles)
+        if len(t) >= min_len and not (_SEP_CHARS & set(t))
+    ]
     rng.shuffle(idx)
     return idx[:n]
 
@@ -139,12 +150,7 @@ def build_eval_set(
     # parts must not contain separator chars themselves, or the extraction
     # split makes the case unsolvable regardless of retrieval quality
     multi = EvalTier("multi_diagnosis")
-    _seps = set("，,；;+＋ \t")
-    pool = [
-        i
-        for i in _title_sample(corpus, len(corpus), seed + 3, min_len=3)
-        if not (_seps & set(corpus.titles[i]))
-    ][: n_multi * 3]
+    pool = _title_sample(corpus, n_multi * 3, seed + 3, min_len=3)
     for group, j in enumerate(range(0, min(len(pool) - 2, n_multi * 3 - 2), 3)):
         if len(multi.cases) >= n_multi:
             break

@@ -392,7 +392,21 @@ class HierarchicalSimilarityService:
                 results.append(
                     (record, float(record.get("score", 0.0)), SimilarityFactors())
                 )
-        results.sort(key=lambda x: x[1], reverse=True)
+        # primary: enhanced score desc (reference :575). Secondary (our
+        # documented divergence): an exact-title candidate outranks
+        # non-exact ones at EQUAL score — near-identical siblings routinely
+        # tie with the exact match at the 1.8 cap, and the reference's
+        # stable sort then keeps the raw weighted order, which the x1.2
+        # level weights bias toward level-1/2 siblings over the exact
+        # level-3 row.
+        q = processed_query.strip()
+        results.sort(
+            key=lambda x: (
+                x[1],
+                x[0].get("preferred_zh", "").strip() == q,
+            ),
+            reverse=True,
+        )
         return results
 
     # ---------------------------------------------------------------- meta
