@@ -167,6 +167,12 @@ def main(argv=None) -> int:
     parser.add_argument(
         "--verify-only", action="store_true", help="only run the verification search"
     )
+    parser.add_argument(
+        "--hnsw", action="store_true",
+        help="also build and persist the HNSW graph next to the store, so "
+        "per-request search_method=hnsw is warm at serve time instead of "
+        "paying a minutes-long lazy build on the first request",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -180,6 +186,20 @@ def main(argv=None) -> int:
         ok = builder.verify_database()
     else:
         ok = builder.build_full_database(args.input, rebuild=args.rebuild)
+    if ok and args.hnsw:
+        import time as _time
+
+        store = VectorStore.load(
+            builder.config.store.db_path, config=builder.config.store,
+            hnsw_config=builder.config.hnsw,
+        )
+        t0 = _time.time()
+        logger.info("building HNSW graph (M=%d efc=%d)...",
+                    builder.config.hnsw.M, builder.config.hnsw.ef_construction)
+        store.build_hnsw()
+        store._hnsw.save(str(builder.config.store.db_path) + ".hnsw")
+        logger.info("HNSW graph persisted in %.0fs -> %s.hnsw",
+                    _time.time() - t0, builder.config.store.db_path)
     return 0 if ok else 1
 
 
