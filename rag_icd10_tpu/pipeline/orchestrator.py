@@ -253,7 +253,23 @@ class MultiDiagnosisService:
         # Preferred: ONE fused jitted program (tokens -> embeddings ->
         # weighted scores -> top-k); fallback: separate encode + search
         # device calls (mock encoders, HNSW stores, released collections).
+        #
+        # Documented divergence: retrieval ENCODES uncertainty-stripped
+        # text. The reference embeds the raw fragment ("考虑弹响膝") and
+        # relies on its pretrained encoder shrugging the marker off; the
+        # in-domain encoder is brittle to unseen marker tokens, and the
+        # clean query is what the corpus semantics match anyway. The RAW
+        # text still drives extraction, boosts and rescoring
+        # (uncertainty_diagnosis_service.py:112-122 semantics unchanged).
         if flat_diagnoses:
+            from .uncertainty import detect_uncertainty
+
+            encode_texts = []
+            for d in flat_diagnoses:
+                info = detect_uncertainty(d)
+                encode_texts.append(
+                    info.clean_text if info.has_uncertainty and info.clean_text else d
+                )
             # per-request search overrides force the two-step path: the
             # fused program bakes in the FLAT method, and HNSW/ef knobs are
             # host-side concepts
@@ -269,7 +285,7 @@ class MultiDiagnosisService:
                     from ..index.vector_store import _bucket_k
 
                     query_vecs, vals, idx = fused.query(
-                        flat_diagnoses, k=_bucket_k(k_eff),
+                        encode_texts, k=_bucket_k(k_eff),
                         method=self.store.config.search_method,
                     )
                     all_hits = self.store.build_hits(
@@ -278,7 +294,7 @@ class MultiDiagnosisService:
             else:
                 with metrics.timer("encode"):
                     query_vecs = np.asarray(
-                        self.encoder.encode_queries(flat_diagnoses)
+                        self.encoder.encode_queries(encode_texts)
                     )
                 with metrics.timer("search"):
                     if (

@@ -162,3 +162,22 @@ class TestReports:
             "一般",
             "待改进",
         )
+
+
+class TestUncertaintyStrippedEncoding:
+    """Documented divergence: retrieval encodes uncertainty-STRIPPED text
+    (the reference embeds the raw fragment and relies on a pretrained
+    encoder shrugging markers off). The mock encoder is marker-sensitive,
+    so these pass only if the orchestrator strips before encoding."""
+
+    def test_marked_query_matches_clean_query_results(self, service):
+        clean = service.match_multiple_diagnoses("急性胃肠炎", top_k=3)
+        clean_top = [c.code for c in clean["matches"][0].candidates]
+        for query in ("疑似急性胃肠炎", "急性胃肠炎待查", "考虑急性胃肠炎"):
+            res = service.match_multiple_diagnoses(query, top_k=3)
+            m = res["matches"][0]
+            assert m.candidates, query
+            # stripped-encoding: the marked query retrieves the same
+            # candidate set the clean query does (modulo boost re-order)
+            assert set(c.code for c in m.candidates) == set(clean_top), (
+                query, [(c.title, c.score) for c in m.candidates])
