@@ -1,0 +1,314 @@
+"""Train the model-mode NER token classifier offline (no external data).
+
+The reference's model mode downloads lixin12345/chinese-medical-ner at
+runtime (services/medical_ner_service.py:26-31); with zero egress there
+are no real weights, so model mode degrades to rules. This tool makes
+model mode FUNCTIONAL offline by distillation: synthetic clinical
+sentences are composed from templates whose slots carry exact span
+labels by construction — disease slots sample corpus titles, symptom/
+anatomy/drug slots sample vocabularies mirroring the rule tables
+(pipeline/ner.py RULE_PATTERNS) and the drug shapes
+(diagnosis_entity_filter.py:36-43) — and a compact BERT token classifier
+trains on BIO tags over them.
+
+The label names (Disease/Symptom/BodyParts/Drug) are chosen so
+ENTITY_TYPE_MAPPING (pipeline/ner.py:31-48) maps them onto the standard
+types, and the saved directory (params.npz + config.json with id2label +
+vocab.txt) is exactly what JaxTokenClassifier.from_weights loads — so
+
+    python -m rag_icd10_tpu.tools.train_ner --out db/ner
+    export NER_WEIGHTS_PATH=db/ner
+
+turns model mode on end-to-end. The model generalizes beyond the rule
+regexes (it sees full corpus titles the rules only partially match).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from pathlib import Path
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+logger = logging.getLogger("rag_icd10_tpu.train_ner")
+
+LABELS = (
+    "O",
+    "B-Disease", "I-Disease",
+    "B-Symptom", "I-Symptom",
+    "B-BodyParts", "I-BodyParts",
+    "B-Drug", "I-Drug",
+)
+
+SYMPTOMS = (
+    "头痛", "发热", "腹泻", "咳嗽", "心悸", "气促", "恶心", "呕吐", "腹胀",
+    "水肿", "胸闷", "乏力", "头晕", "失眠", "便血", "咯血", "腹痛", "胸痛",
+    "关节痛", "持续发热", "反复腹泻", "阵发性咳嗽", "突发性头晕", "皮肤瘙痒",
+    "食欲不振", "体重下降", "夜间盗汗", "大量出血",
+)
+ANATOMY = (
+    "心脏", "肝脏", "肺部", "肾脏", "胃部", "腰椎", "颈椎", "甲状腺",
+    "乳腺", "冠状动脉", "子宫", "卵巢", "前列腺", "左肺", "右肾",
+    "双侧乳腺", "胸椎", "主动脉", "脑部", "脊柱",
+)
+DRUGS = (
+    "阿莫西林", "青霉素", "头孢拉定", "阿司匹林", "胰岛素", "二甲双胍",
+    "硝苯地平", "氯吡格雷", "阿托伐他汀", "布洛芬", "奥美拉唑",
+    "阿莫西林胶囊", "阿司匹林片", "胰岛素注射液", "红霉素软膏", "庆大霉素",
+)
+
+# (template, slot types) — {d}=disease {s}=symptom {a}=anatomy {g}=drug
+TEMPLATES = (
+    "患者诊断为{d}",
+    "{d}，伴{s}",
+    "{s}三天，考虑{d}",
+    "{a}不适，{s}，诊断{d}",
+    "{d}，给予{g}治疗",
+    "患者{s}，服用{g}后缓解",
+    "{a}检查提示{d}",
+    "{d}术后，{s}",
+    "既往{d}，现{s}加重",
+    "{d}",
+    "排除{d}，随访观察",
+    "{a}疼痛，口服{g}",
+)
+
+SLOT_LABEL = {"d": "Disease", "s": "Symptom", "a": "BodyParts", "g": "Drug"}
+
+
+def compose(template: str, rng, titles: Sequence[str]):
+    """-> (segments, labels): segments are text pieces; labels[i] is the
+    entity type of segment i or None for filler text."""
+    segments: List[str] = []
+    labels: List[str] = []
+    rest = template
+    while rest:
+        i = rest.find("{")
+        if i < 0:
+            segments.append(rest)
+            labels.append(None)
+            break
+        if i > 0:
+            segments.append(rest[:i])
+            labels.append(None)
+        slot = rest[i + 1]
+        pool = {
+            "d": titles, "s": SYMPTOMS, "a": ANATOMY, "g": DRUGS,
+        }[slot]
+        segments.append(pool[int(rng.integers(0, len(pool)))])
+        labels.append(SLOT_LABEL[slot])
+        rest = rest[i + 3 :]
+    return segments, labels
+
+
+def encode_example(tok, segments, seg_labels, label_to_id, max_len: int):
+    """Tokenize segment-wise so BIO tags align with tokens exactly."""
+    ids: List[int] = [tok.cls_id]
+    tags: List[int] = [label_to_id["O"]]
+    from ..models.tokenizer import basic_tokenize
+
+    for seg, lab in zip(segments, seg_labels):
+        first = True
+        for t in basic_tokenize(seg):
+            for piece in tok.wordpiece(t):
+                if len(ids) >= max_len - 1:
+                    break
+                ids.append(tok.vocab.get(piece, tok.unk_id))
+                if lab is None:
+                    tags.append(label_to_id["O"])
+                else:
+                    tags.append(
+                        label_to_id[("B-" if first else "I-") + lab]
+                    )
+                    first = False
+    ids.append(tok.sep_id)
+    tags.append(label_to_id["O"])
+    return ids, tags
+
+
+def make_batch(tok, examples, label_to_id, max_len: int):
+    rows = len(examples)
+    ids = np.full((rows, max_len), tok.pad_id, np.int32)
+    mask = np.zeros((rows, max_len), np.int32)
+    tags = np.zeros((rows, max_len), np.int32)
+    for r, (segments, seg_labels) in enumerate(examples):
+        i, t = encode_example(tok, segments, seg_labels, label_to_id, max_len)
+        ids[r, : len(i)] = i
+        mask[r, : len(i)] = 1
+        tags[r, : len(t)] = t
+    return ids, mask, tags
+
+
+def span_f1(pred_spans, gold_spans) -> Tuple[float, float, float]:
+    pred, gold = set(pred_spans), set(gold_spans)
+    if not pred and not gold:
+        return 1.0, 1.0, 1.0
+    tp = len(pred & gold)
+    p = tp / len(pred) if pred else 0.0
+    r = tp / len(gold) if gold else 0.0
+    f = 2 * p * r / (p + r) if p + r else 0.0
+    return p, r, f
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--steps", type=int, default=3000)
+    parser.add_argument("--batch", type=int, default=64)
+    parser.add_argument("--seq", type=int, default=64)
+    parser.add_argument("--lr", type=float, default=3e-4)
+    parser.add_argument("--hidden", type=int, default=256)
+    parser.add_argument("--layers", type=int, default=4)
+    parser.add_argument("--out", default="db/ner")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-every", type=int, default=100)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(
+        level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
+    )
+    from ..utils import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flax import linen as nn
+
+    from ..config import get_config
+    from ..data.corpus import load_corpus
+    from ..models.bert import BertArch, BertEncoder
+    from ..models.convert_hf import save_params
+    from ..models.tokenizer import WordPieceTokenizer
+
+    cfg = get_config()
+    corpus = load_corpus(cfg.data_path)
+    seps = set("，,；;+＋ \t（）()")
+    titles = [
+        t for t in corpus.titles if 2 <= len(t) <= 14 and not (seps & set(t))
+    ]
+    logger.info("disease slot pool: %d corpus titles", len(titles))
+
+    vocab_texts = list(titles) + list(SYMPTOMS) + list(ANATOMY) + list(DRUGS)
+    vocab_texts += ["".join(TEMPLATES)]
+    tok = WordPieceTokenizer.from_corpus(vocab_texts)
+    label_to_id = {l: i for i, l in enumerate(LABELS)}
+
+    arch = BertArch(
+        vocab_size=tok.vocab_size,
+        hidden_size=args.hidden,
+        num_layers=args.layers,
+        num_heads=max(args.hidden // 64, 2),
+        intermediate_size=args.hidden * 4,
+        max_position_embeddings=max(args.seq, 64),
+    )
+
+    class TokenClassifier(nn.Module):
+        arch: BertArch
+        num_labels: int
+
+        @nn.compact
+        def __call__(self, ids, mask, types):
+            hidden = BertEncoder(self.arch, name="bert")(ids, mask, types)
+            return nn.Dense(self.num_labels, dtype=jnp.float32,
+                            name="classifier")(hidden)
+
+    model = TokenClassifier(arch, num_labels=len(LABELS))
+    rng_jax = jax.random.PRNGKey(args.seed)
+    dummy = np.zeros((2, args.seq), np.int32)
+    params = model.init(rng_jax, dummy, dummy, dummy)["params"]
+    schedule = optax.warmup_cosine_decay_schedule(
+        0.0, args.lr, warmup_steps=min(100, args.steps // 10 + 1),
+        decay_steps=args.steps,
+    )
+    optimizer = optax.adamw(schedule, weight_decay=0.01)
+    opt_state = optimizer.init(params)
+
+    def loss_fn(params, ids, mask, tags):
+        logits = model.apply({"params": params}, ids, mask, jnp.zeros_like(ids))
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, tags)
+        ce = (ce * mask).sum() / jnp.maximum(mask.sum(), 1)
+        acc = (jnp.argmax(logits, -1) == tags) * mask
+        return ce, acc.sum() / jnp.maximum(mask.sum(), 1)
+
+    @jax.jit
+    def train_step(params, opt_state, ids, mask, tags):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, ids, mask, tags
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, acc
+
+    rng = np.random.default_rng(args.seed)
+
+    def draw(n):
+        return [
+            compose(TEMPLATES[int(rng.integers(0, len(TEMPLATES)))], rng, titles)
+            for _ in range(n)
+        ]
+
+    import time
+
+    t0 = time.time()
+    for step in range(args.steps):
+        ids, mask, tags = make_batch(tok, draw(args.batch), label_to_id, args.seq)
+        params, opt_state, loss, acc = train_step(params, opt_state, ids, mask, tags)
+        if (step + 1) % args.log_every == 0 or step == 0:
+            logger.info(
+                "step %d/%d loss=%.4f token_acc=%.4f (%.1f steps/s)",
+                step + 1, args.steps, float(loss), float(acc),
+                (step + 1) / (time.time() - t0),
+            )
+
+    # ---- save in the JaxTokenClassifier.from_weights layout --------------
+    out = Path(args.out)
+    out.mkdir(parents=True, exist_ok=True)
+    save_params(jax.device_get(params), str(out / "params.npz"))
+    tok.save_vocab(str(out / "vocab.txt"))
+    config = {
+        "vocab_size": arch.vocab_size,
+        "hidden_size": arch.hidden_size,
+        "num_hidden_layers": arch.num_layers,
+        "num_attention_heads": arch.num_heads,
+        "intermediate_size": arch.intermediate_size,
+        "max_position_embeddings": arch.max_position_embeddings,
+        "id2label": {str(i): l for i, l in enumerate(LABELS)},
+        "trained_by": "rag_icd10_tpu.tools.train_ner (rule-NER distillation)",
+    }
+    (out / "config.json").write_text(json.dumps(config, ensure_ascii=False))
+
+    # ---- held-out span eval ----------------------------------------------
+    from ..pipeline.ner_model import JaxTokenClassifier
+
+    clf = JaxTokenClassifier.from_weights(str(out))
+    eval_rng = np.random.default_rng(args.seed + 999)
+    ps, rs, fs = [], [], []
+    for _ in range(100):
+        segments, seg_labels = compose(
+            TEMPLATES[int(eval_rng.integers(0, len(TEMPLATES)))], eval_rng, titles
+        )
+        text = "".join(segments)
+        gold = []
+        pos = 0
+        for seg, lab in zip(segments, seg_labels):
+            if lab is not None:
+                gold.append((seg, lab))
+            pos += len(seg)
+        pred = [(t, l) for t, l, _, _, _ in clf.predict(text)]
+        p, r, f = span_f1(pred, gold)
+        ps.append(p); rs.append(r); fs.append(f)
+    logger.info(
+        "held-out span eval (100 sentences): P=%.3f R=%.3f F1=%.3f",
+        float(np.mean(ps)), float(np.mean(rs)), float(np.mean(fs)),
+    )
+    print(f"export NER_WEIGHTS_PATH={out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
