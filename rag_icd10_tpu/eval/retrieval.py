@@ -78,20 +78,19 @@ class EvalTier:
     cases: List[EvalCase] = field(default_factory=list)
 
 
-_SEP_CHARS = set("，,；;+＋ \t")
-
-
 def _title_sample(corpus, n: int, seed: int, min_len: int = 2) -> List[int]:
-    """Deterministic sample of record indices. Titles containing the
-    pipeline's separator characters are excluded from EVERY tier: the
-    extraction contract (reference tools/text_processor.py:29-33) splits
-    on them, so such queries are ambiguous-by-design — they measure the
+    """Deterministic sample of record indices. Titles the pipeline's OWN
+    separator regex would split (pipeline/textproc.py SEPARATOR_RE — the
+    canonical definition, including all whitespace classes) are excluded
+    from EVERY tier: such queries are ambiguous-by-design and measure the
     split contract, not retrieval quality."""
+    from ..pipeline.textproc import SEPARATOR_RE
+
     rng = np.random.default_rng(seed)
     idx = [
         i
         for i, t in enumerate(corpus.titles)
-        if len(t) >= min_len and not (_SEP_CHARS & set(t))
+        if len(t) >= min_len and SEPARATOR_RE.search(t) is None
     ]
     rng.shuffle(idx)
     return idx[:n]

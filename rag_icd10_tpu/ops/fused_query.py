@@ -56,19 +56,24 @@ class FusedQueryEngine:
         @jax.jit
         def fused(params, ids, mask, types, corpus, weights, maskv):
             emb = model.apply({"params": params}, ids, mask, types)  # (B, D)
-            if (
-                on_tpu
-                and method == "streaming"
-                and k <= 128
-                and corpus.shape[0] % 2048 == 0
-            ):
+            if on_tpu and method == "streaming" and k <= 128:
                 # tokens -> BERT -> in-kernel top-k, one program, the
-                # (B, N) score matrix never exists anywhere
-                vals, idx = streaming_topk(
-                    emb.astype(corpus.dtype), corpus, weights, maskv,
-                    k=k, tile_n=2048,
-                )
-                return emb, vals, idx
+                # (B, N) score matrix never exists anywhere. Tile size
+                # honors the streaming kernel's larger VMEM live set.
+                try:
+                    tile_n = default_tile_n(
+                        ids.shape[0], corpus.shape[0],
+                        corpus.dtype.itemsize, dim=corpus.shape[1],
+                        temporaries=10,
+                    )
+                except ValueError:
+                    tile_n = 0  # no dividing tile: materialized path below
+                if tile_n:
+                    vals, idx = streaming_topk(
+                        emb.astype(corpus.dtype), corpus, weights, maskv,
+                        k=k, tile_n=tile_n,
+                    )
+                    return emb, vals, idx
             if on_tpu:
                 tile_n = default_tile_n(
                     ids.shape[0],

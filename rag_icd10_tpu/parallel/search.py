@@ -59,18 +59,26 @@ class ShardedFlatSearcher:
         # on real TPU shards, select in-kernel so the per-shard (B, N/s)
         # score matrix never reaches HBM (ops/pallas_score.streaming_topk);
         # CPU meshes (tests, dryruns) use the plain XLA path
-        use_streaming = (
-            jax.default_backend() == "tpu"
-            and k <= 128
-            and shard_rows % 2048 == 0
-        )
+        use_streaming = jax.default_backend() == "tpu" and k <= 128
 
         def shard_fn(q, corpus, weights, mask):
+            tile_n = 0
             if use_streaming:
+                from ..ops.pallas_score import default_tile_n
+
+                try:  # VMEM-budgeted tile for the streaming live set
+                    tile_n = default_tile_n(
+                        q.shape[0], corpus.shape[0],
+                        corpus.dtype.itemsize, dim=corpus.shape[1],
+                        temporaries=10,
+                    )
+                except ValueError:
+                    tile_n = 0
+            if tile_n:
                 from ..ops.pallas_score import streaming_topk
 
                 vals, idx = streaming_topk(
-                    q, corpus, weights, mask, k=k, tile_n=2048
+                    q, corpus, weights, mask, k=k, tile_n=tile_n
                 )
             else:
                 scores = jnp.dot(

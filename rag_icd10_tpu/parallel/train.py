@@ -112,7 +112,7 @@ def make_train_step(arch: BertArch, optimizer, temperature: float = 0.05):
                 "hard-negative batches require group_a/group_b/h_group "
                 "(plain InfoNCE would silently ignore the hard negatives)"
             )
-        if "group_a" in batch and "h_ids" in batch and "h_group" not in batch:
+        if "h_ids" in batch and "h_group" not in batch:
             raise ValueError("h_ids given without h_group title ids")
         if "h_ids" in batch:
             ids = jnp.concatenate([batch["a_ids"], batch["h_ids"]], axis=0)
@@ -213,13 +213,20 @@ def make_sharded_train_step(
     train_step = make_train_step(arch, optimizer, temperature)
     dummy = init_params(arch, seed=0)
     p_shard = param_shardings(mesh, dummy)
+    del dummy  # p_shard carries the identical tree structure/paths
     b_shard = batch_sharding(mesh)
+    o_shard_cache = []
 
     def batch_shardings(batch):
         return {k: b_shard for k in batch}
 
     def compiled(params, opt_state, batch):
-        o_shard = opt_state_shardings(mesh, dummy, opt_state)
+        if not o_shard_cache:
+            # the sharding tree is identical every step; compute once.
+            # p_shard's tree paths mirror the param tree, so it supplies
+            # the path->spec mapping without retaining a host param copy.
+            o_shard_cache.append(opt_state_shardings(mesh, p_shard, opt_state))
+        o_shard = o_shard_cache[0]
         fn = jax.jit(
             train_step,
             in_shardings=(p_shard, o_shard, batch_shardings(batch)),

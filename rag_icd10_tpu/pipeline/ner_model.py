@@ -26,34 +26,42 @@ import numpy as np
 from ..models.bert import BertArch
 
 
+def build_token_classifier(arch: BertArch, num_labels: int):
+    """The BERT + per-token linear head module. SINGLE definition shared
+    by inference (JaxTokenClassifier) and training (tools/train_ner) so
+    the flax param tree ('bert', 'classifier' submodules) can never
+    drift between saved checkpoints and the loader."""
+    import jax.numpy as jnp
+    from flax import linen as nn
+
+    from ..models.bert import BertEncoder
+
+    class TokenClassifier(nn.Module):
+        arch: BertArch
+        num_labels: int
+
+        @nn.compact
+        def __call__(self, ids, mask, types):
+            hidden = BertEncoder(self.arch, name="bert")(ids, mask, types)
+            logits = nn.Dense(
+                self.num_labels, dtype=jnp.float32, name="classifier"
+            )(hidden)
+            return logits
+
+    return TokenClassifier(arch, num_labels=num_labels)
+
+
 class JaxTokenClassifier:
     """BERT + token-classification head, jitted, with span aggregation."""
 
     def __init__(self, arch: BertArch, params: Dict, id2label: Dict[int, str],
                  tokenizer=None):
         import jax
-        import jax.numpy as jnp
-        from flax import linen as nn
-
-        from ..models.bert import BertEncoder
 
         self.arch = arch
         self.id2label = {int(k): v for k, v in id2label.items()}
         self.tokenizer = tokenizer
-
-        class TokenClassifier(nn.Module):
-            arch: BertArch
-            num_labels: int
-
-            @nn.compact
-            def __call__(self, ids, mask, types):
-                hidden = BertEncoder(self.arch, name="bert")(ids, mask, types)
-                logits = nn.Dense(
-                    self.num_labels, dtype=jnp.float32, name="classifier"
-                )(hidden)
-                return logits
-
-        self.model = TokenClassifier(arch, num_labels=len(self.id2label))
+        self.model = build_token_classifier(arch, num_labels=len(self.id2label))
         self.params = jax.device_put(params)
         self._jit = jax.jit(
             lambda p, ids, mask, types: jax.nn.softmax(
@@ -93,6 +101,10 @@ class JaxTokenClassifier:
         aggregation over per-CHARACTER tokens (Chinese WordPiece)."""
         if not text or self.tokenizer is None:
             return []
+        # never index positions the checkpoint wasn't trained for:
+        # flax nn.Embed clamps out-of-range lookups silently, which would
+        # produce garbage tags instead of an error
+        max_length = min(max_length, self.arch.max_position_embeddings)
         from ..models.tokenizer import basic_tokenize
 
         # char-level tokens with source offsets
@@ -121,6 +133,8 @@ class JaxTokenClassifier:
         pad_to = 1
         while pad_to < seq:
             pad_to *= 2
+        # pow2 padding must not exceed the trained position table either
+        pad_to = min(pad_to, self.arch.max_position_embeddings)
         arr = np.full((1, pad_to), self.tokenizer.pad_id, dtype=np.int32)
         arr[0, :seq] = ids
         mask = np.zeros((1, pad_to), dtype=np.int32)

@@ -177,19 +177,25 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
     import optax
-    from flax import linen as nn
 
     from ..config import get_config
     from ..data.corpus import load_corpus
-    from ..models.bert import BertArch, BertEncoder
+    from ..models.bert import BertArch
     from ..models.convert_hf import save_params
     from ..models.tokenizer import WordPieceTokenizer
+    from ..pipeline.ner_model import build_token_classifier
+
+    from ..pipeline.textproc import SEPARATOR_RE
 
     cfg = get_config()
     corpus = load_corpus(cfg.data_path)
-    seps = set("，,；;+＋ \t（）()")
+    brackets = set("（）()[]")
     titles = [
-        t for t in corpus.titles if 2 <= len(t) <= 14 and not (seps & set(t))
+        t
+        for t in corpus.titles
+        if 2 <= len(t) <= 14
+        and SEPARATOR_RE.search(t) is None
+        and not (brackets & set(t))
     ]
     logger.info("disease slot pool: %d corpus titles", len(titles))
 
@@ -207,17 +213,9 @@ def main(argv=None) -> int:
         max_position_embeddings=max(args.seq, 64),
     )
 
-    class TokenClassifier(nn.Module):
-        arch: BertArch
-        num_labels: int
-
-        @nn.compact
-        def __call__(self, ids, mask, types):
-            hidden = BertEncoder(self.arch, name="bert")(ids, mask, types)
-            return nn.Dense(self.num_labels, dtype=jnp.float32,
-                            name="classifier")(hidden)
-
-    model = TokenClassifier(arch, num_labels=len(LABELS))
+    # the SAME module definition inference loads (ner_model.py) — the
+    # param tree cannot drift between trainer and loader
+    model = build_token_classifier(arch, num_labels=len(LABELS))
     rng_jax = jax.random.PRNGKey(args.seed)
     dummy = np.zeros((2, args.seq), np.int32)
     params = model.init(rng_jax, dummy, dummy, dummy)["params"]
