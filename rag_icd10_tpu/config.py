@@ -292,6 +292,14 @@ class APIConfig:
     drain_timeout_s: float = field(
         default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
     )
+    # Extra per-request search methods to pre-compile at startup
+    # (comma-separated: "streaming", "hnsw", "approx"). Off by default —
+    # each streaming bucket is its own Pallas compile, and hnsw warmup
+    # builds the graph — so only pay it when clients actually use the
+    # per-request knobs.
+    warmup_methods: str = field(
+        default_factory=lambda: _env("WARMUP_SEARCH_METHODS", "")
+    )
 
 
 @dataclass(frozen=True)

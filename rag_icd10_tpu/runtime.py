@@ -194,9 +194,48 @@ class Engine:
                 batch = (seeds * ((size // len(seeds)) + 1))[:size]
                 for top_k in (5, 10):
                     self.matcher.match_many_texts(batch, top_k=top_k)
+            self._warmup_extra_methods([1] + sizes)
         except Exception as e:
             logger.warning("warmup failed (continuing): %s", e)
         logger.info("warmup done in %.0fs", time.time() - t0)
+
+    def _warmup_extra_methods(self, sizes) -> None:
+        """Pre-compile/pre-build the opt-in per-request search methods
+        (WARMUP_SEARCH_METHODS) so the first `search_method=streaming`
+        request doesn't pay a per-bucket Pallas compile and the first
+        `search_method=hnsw` request doesn't pay a graph build. Drives
+        `store.search` directly with random unit vectors — the XLA cache
+        keys on shapes, not values, and the encoder buckets are already
+        warm from the main sweep."""
+        import numpy as np
+
+        methods = [
+            m.strip().lower()
+            for m in self.config.api.warmup_methods.split(",")
+            if m.strip()
+        ]
+        if not methods or self.store is None or not self.store.num_entities:
+            return
+        overfetch = self.config.pipeline.overfetch
+        rng = np.random.default_rng(0)
+        for method in methods:
+            t0 = time.time()
+            if method == "hnsw":
+                self.store.build_hnsw()
+            elif method in ("streaming", "approx", "exact"):
+                for size in sizes:
+                    q = rng.standard_normal((size, self.store.dim)).astype(
+                        np.float32
+                    )
+                    q /= np.linalg.norm(q, axis=1, keepdims=True)
+                    for top_k in (5, 10):
+                        self.store.search(q, top_k * overfetch, method=method)
+            else:
+                logger.warning("unknown WARMUP_SEARCH_METHODS entry: %s", method)
+                continue
+            logger.info(
+                "warmup(%s) done in %.0fs", method, time.time() - t0
+            )
 
     def shutdown(self) -> None:
         """Cleanup (reference: main.py:118-226): release device memory,

@@ -73,6 +73,41 @@ class TestBuilderEngineRoundtrip:
         assert result["total_matches"] > 0
         engine.shutdown()
 
+    def test_warmup_extra_methods(self, tiny_env):
+        """WARMUP_SEARCH_METHODS pre-builds the HNSW graph and pre-compiles
+        the streaming buckets at startup (STATUS known-gap: first
+        per-request `search_method` use used to pay the build/compile)."""
+        tmp_path, cfg = tiny_env
+        import dataclasses
+
+        from rag_icd10_tpu.tools.build_database import DatabaseBuilder
+
+        cfg = dataclasses.replace(
+            cfg,
+            store=dataclasses.replace(
+                cfg.store, db_path=str(tmp_path / "store"), pad_multiple=128
+            ),
+            api=dataclasses.replace(
+                cfg.api, warmup_methods="streaming,hnsw", max_batch=2
+            ),
+        )
+        assert DatabaseBuilder(cfg).build_full_database(rebuild=True)
+
+        from rag_icd10_tpu.runtime import Engine
+
+        engine = Engine(cfg)
+        engine.startup(warmup=False)
+        engine.init_matcher()
+        engine.warmup()
+        # the graph was pre-built, so a per-request hnsw search is warm
+        assert engine.store._hnsw is not None
+        title = engine.store.corpus.titles[0]
+        result = engine.matcher.match_multiple_diagnoses(
+            title, top_k=3, search_method="hnsw"
+        )
+        assert result["total_matches"] > 0
+        engine.shutdown()
+
     def test_verify_only_without_store_fails_cleanly(self, tiny_env):
         tmp_path, cfg = tiny_env
         import dataclasses
