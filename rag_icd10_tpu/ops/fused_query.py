@@ -50,6 +50,7 @@ class FusedQueryEngine:
         from .pallas_score import (
             default_tile_n,
             fused_weighted_scores,
+            streaming_tile_n,
             streaming_topk,
         )
 
@@ -61,10 +62,9 @@ class FusedQueryEngine:
                 # (B, N) score matrix never exists anywhere. Tile size
                 # honors the streaming kernel's larger VMEM live set.
                 try:
-                    tile_n = default_tile_n(
+                    tile_n = streaming_tile_n(
                         ids.shape[0], corpus.shape[0],
-                        corpus.dtype.itemsize, dim=corpus.shape[1],
-                        temporaries=10,
+                        corpus.dtype.itemsize, dim=corpus.shape[1], k=k,
                     )
                 except ValueError:
                     tile_n = 0  # no dividing tile: materialized path below

@@ -50,13 +50,15 @@ def default_tile_n(
     cap: int = 2048,
     dim: int = 768,
     temporaries: int = 2,
+    fixed_bytes: int = 0,
 ) -> int:
     """Largest corpus tile whose double-buffered VMEM footprint
     (2 corpus tiles + ``temporaries`` (B, tile) fp32 blocks + query
-    block) stays under ~13 MB. Raises when no tile in [128, cap]
-    divides N within budget — callers pad the corpus to a power-of-two
-    multiple (ops.pad_corpus) precisely so a divisor exists."""
-    budget = 13 * 1024 * 1024 - batch * dim * dtype_bytes
+    block + ``fixed_bytes`` of tile-independent state) stays under
+    ~13 MB. Raises when no tile in [128, cap] divides N within budget —
+    callers pad the corpus to a power-of-two multiple (ops.pad_corpus)
+    precisely so a divisor exists."""
+    budget = 13 * 1024 * 1024 - batch * dim * dtype_bytes - fixed_bytes
     tile = cap
     while tile >= 128:
         need = 2 * tile * dim * dtype_bytes + temporaries * batch * tile * 4
@@ -135,15 +137,12 @@ def fused_search(
     matrix never reaches HBM — the scaling path for huge corpora."""
     if method == "streaming" and k <= 128:
         if tile_n == 0:
-            # the streaming kernel keeps more (B, tile) temporaries live
-            # than the materialized scan (scores + two masked copies +
-            # iota/masks + the fallback's extraction buffers)
-            tile_n = default_tile_n(
+            tile_n = streaming_tile_n(
                 queries.shape[0],
                 corpus.shape[0],
                 corpus.dtype.itemsize,
                 dim=corpus.shape[1],
-                temporaries=10,
+                k=k,
             )
         return streaming_topk(
             queries, corpus, weights, mask, k=k, tile_n=tile_n, exact=exact
@@ -166,63 +165,69 @@ def fused_search(
 
 
 # ---------------------------------------------------------------------------
-# Streaming top-k: running (B, K) top-k lives in VMEM across corpus tiles;
-# the (B, N) score matrix NEVER materializes in HBM (SURVEY §7.1 "fused
-# scan + on-chip top-k"). HBM traffic = corpus read + (B, K) outputs.
+# Streaming top-k, slot-candidate design: a running per-lane-slot top-S
+# state lives in VMEM across corpus tiles — the (B, N) score matrix NEVER
+# materializes in HBM (SURVEY §7.1 "fused scan + on-chip top-k"). HBM
+# traffic = corpus read + (B, 128·S) candidate outputs.
 #
-# Per tile the kernel computes scores in VMEM, reduces each of 128
-# lane-slots (strided columns) to its top-2 values (3 VPU sweeps), and
-# merges those 256 candidates into the running top-k with a K-step
-# vectorized extraction. Exactness is certified per tile: every value NOT
-# among a slot's top-2 is bounded by that slot's 3rd-max, so if no slot's
-# 3rd-max beats the post-merge running k-th value, nothing was missed;
-# otherwise a @pl.when fallback re-merges the FULL tile exactly (rare:
-# requires >=3 of the current global top-k to collide in one 128-stride
-# slot; for k<=32 over random order this is per-mille-level).
+# Per tile the kernel concatenates the tile's scores (B, e, 128) with the
+# running state (B, S, 128) and takes S masked max/argmax sweeps over the
+# sublane axis — pure elementwise VPU work, no gathers, no k-step
+# extraction loop (the previous design's per-tile extraction made it
+# SLOWER than the materialized scan at 40k rows: 3.2 ms vs 1.3 ms at
+# B=256; this one merges in O(S·(S+e)) VPU sweeps per tile and defers
+# the final k-selection to ONE cheap lax.top_k over 128·S columns).
+#
+# Exactness is certified per query: a row evicted from (or never
+# admitted to) its lane slot's top-S is bounded by that slot's running
+# (S+1)-th max, which the kernel tracks as a monotone per-slot bound. If
+# the merged k-th value is >= the max slot bound, at most ties were
+# missed; otherwise ONE lax.cond fallback inside the same program
+# re-runs a materialized exact scan (possible only when > S of the
+# global top-k collide in one of the 128 lane slots — with S = max(4,
+# ceil(k/8)) that needs S+1 of the top-k in one slot, per-mille**2 odds
+# on real score distributions).
 # ---------------------------------------------------------------------------
 
 
-def _extract_topk_into(oval_ref, oidx_ref, cand_vals, cand_idx, k: int):
-    """Vectorized k-step max extraction: writes descending top-k of the
-    (B, C) candidates into the output refs. No gathers and no dynamic
-    lane stores (Mosaic-hostile) — first-occurrence one-hot masks select
-    values/indices, and the output accumulates through the loop carry via
-    one-hot column merges, written to the refs once at the end."""
-    b, c = cand_vals.shape
-    col = jax.lax.broadcasted_iota(jnp.int32, (b, c), 1)
-    out_col = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
-    init = (
-        cand_vals,
-        jnp.full((b, k), -jnp.inf, jnp.float32),
-        jnp.full((b, k), -1, jnp.int32),
+def streaming_tile_n(
+    batch: int, n: int, dtype_bytes: int, dim: int, k: int
+) -> int:
+    """VMEM-budgeted corpus tile for the slot-stream kernel: the merge
+    keeps ~4 live (B, S+e, 128) buffers (values, ids, row iota, masked
+    copy), i.e. ~16·B·tile tile-dependent bytes plus 16·B·S·128 of
+    tile-independent running state."""
+    S = slot_depth(k)
+    return default_tile_n(
+        batch,
+        n,
+        dtype_bytes,
+        dim=dim,
+        temporaries=12,
+        fixed_bytes=12 * batch * S * 128,
     )
 
-    def body(i, state):
-        vals, out_v, out_i = state
-        m = jnp.max(vals, axis=1, keepdims=True)  # (B, 1)
-        amax = jnp.argmax(vals, axis=1)  # first max column (B,)
-        first = col == amax[:, None]  # (B, C) one-hot
-        chosen_idx = jnp.max(jnp.where(first, cand_idx, -1), axis=1)
-        slot = out_col == i  # (B, K) one-hot output column
-        out_v = jnp.where(slot, m, out_v)
-        out_i = jnp.where(slot, chosen_idx[:, None], out_i)
-        return jnp.where(first, -jnp.inf, vals), out_v, out_i
 
-    _, out_v, out_i = jax.lax.fori_loop(0, k, body, init)
-    oval_ref[:] = out_v
-    oidx_ref[:] = out_i
+def slot_depth(k: int) -> int:
+    """Slot-state depth S for a target top-k: deep enough that a
+    certificate failure needs S+1 of the global top-k in one of the 128
+    lane slots (probability ~ C(k, S+1)/128^S — kept below ~1e-6 per
+    query so batches of hundreds never fall back on real data; the cap
+    bounds VMEM, correctness never depends on S)."""
+    return min(16, max(4, -(-k // 5) + 1))
 
 
-def _make_streaming_kernel(k: int, tile_n: int, precision):
-    def kernel(q_ref, c_ref, w_ref, m_ref, oval_ref, oidx_ref,
-               bval_ref, bidx_ref):
+def _make_slot_stream_kernel(S: int, tile_n: int, precision):
+    def kernel(q_ref, c_ref, w_ref, m_ref, oval_ref, oidx_ref, obnd_ref):
         j = pl.program_id(0)
         b = q_ref.shape[0]
+        e = tile_n // 128
 
         @pl.when(j == 0)
         def _():
-            oval_ref[:] = jnp.full((b, k), -jnp.inf, jnp.float32)
-            oidx_ref[:] = jnp.full((b, k), -1, jnp.int32)
+            oval_ref[:] = jnp.full((b, S * 128), -jnp.inf, jnp.float32)
+            oidx_ref[:] = jnp.full((b, S * 128), -1, jnp.int32)
+            obnd_ref[:] = jnp.full((b, 128), -jnp.inf, jnp.float32)
 
         s = jax.lax.dot_general(
             q_ref[:], c_ref[:],
@@ -231,45 +236,93 @@ def _make_streaming_kernel(k: int, tile_n: int, precision):
             precision=precision,
         ) * w_ref[:] + m_ref[:]  # (B, T)
 
-        # lane-slot layout: slot = column mod 128, elements strided by 128
-        e = tile_n // 128
         s3 = s.reshape(b, e, 128)
-        erow = jax.lax.broadcasted_iota(jnp.int32, (b, e, 128), 1)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (b, 128), 1)
         base = j * tile_n
+        erow = jax.lax.broadcasted_iota(jnp.int32, (b, e, 128), 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (b, e, 128), 2)
+        tidx = base + erow * 128 + lane  # global corpus ids of the tile
 
-        sm1 = jnp.max(s3, axis=1)  # (B, 128)
-        am1 = jnp.argmax(s3, axis=1)
-        first1 = erow == am1[:, None, :]
-        idx1 = base + am1 * 128 + lane
-        s3b = jnp.where(first1, -jnp.inf, s3)
-        sm2 = jnp.max(s3b, axis=1)
-        am2 = jnp.argmax(s3b, axis=1)
-        first2 = erow == am2[:, None, :]
-        idx2 = base + am2 * 128 + lane
-        s3c = jnp.where(first2, -jnp.inf, s3b)
-        sm3 = jnp.max(s3c, axis=1)  # per-slot miss bound (B, 128)
+        cv = jnp.concatenate(
+            [oval_ref[:].reshape(b, S, 128), s3], axis=1
+        )  # (B, S+e, 128)
+        ci = jnp.concatenate(
+            [oidx_ref[:].reshape(b, S, 128), tidx], axis=1
+        )
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, S + e, 128), 1)
 
-        # backup the running state for the exact-fallback branch
-        bval_ref[:] = oval_ref[:]
-        bidx_ref[:] = oidx_ref[:]
-
-        cand_vals = jnp.concatenate([bval_ref[:], sm1, sm2], axis=1)
-        cand_idx = jnp.concatenate([bidx_ref[:], idx1, idx2], axis=1)
-        _extract_topk_into(oval_ref, oidx_ref, cand_vals, cand_idx, k)
-
-        run_min = jnp.min(oval_ref[:], axis=1)  # post-merge k-th (B,)
-        danger = jnp.any(sm3 > run_min[:, None])
-
-        @pl.when(danger)
-        def _():
-            # certified-miss possible: exact re-merge of the FULL tile
-            col = jax.lax.broadcasted_iota(jnp.int32, (b, tile_n), 1) + base
-            cv = jnp.concatenate([bval_ref[:], s], axis=1)
-            ci = jnp.concatenate([bidx_ref[:], col], axis=1)
-            _extract_topk_into(oval_ref, oidx_ref, cv, ci, k)
+        out_v, out_i = [], []
+        for _ in range(S):
+            m1 = jnp.max(cv, axis=1)  # (B, 128)
+            a1 = jnp.argmax(cv, axis=1)
+            sel = rows == a1[:, None, :]
+            i1 = jnp.max(jnp.where(sel, ci, -1), axis=1)
+            out_v.append(m1)
+            out_i.append(i1)
+            cv = jnp.where(sel, -jnp.inf, cv)
+        # everything left is bounded by the (S+1)-th max of this merge
+        bnd = jnp.max(cv, axis=1)
+        oval_ref[:] = jnp.concatenate(out_v, axis=1)  # rank-major (B, S*128)
+        oidx_ref[:] = jnp.concatenate(out_i, axis=1)
+        obnd_ref[:] = jnp.maximum(obnd_ref[:], bnd)
 
     return kernel
+
+
+def streaming_candidates(
+    queries: jnp.ndarray,
+    corpus: jnp.ndarray,
+    weights: jnp.ndarray,
+    mask: jnp.ndarray,
+    S: int,
+    tile_n: int,
+    exact: bool = True,
+    interpret: bool = False,
+):
+    """Phase 1: running slot-top-S candidates over the whole corpus.
+
+    Returns (cand_vals (B, 128·S) fp32, cand_idx (B, 128·S) int32,
+    bounds (B, 128) fp32): every corpus row NOT among the candidates has
+    weighted score ≤ its lane slot's bound."""
+    precision = (
+        jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    )
+    b, d = queries.shape
+    n, d2 = corpus.shape
+    assert d == d2, (d, d2)
+    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
+    num_tiles = n // tile_n
+
+    w2 = weights.reshape(1, n).astype(jnp.float32)
+    m2 = mask.reshape(1, n).astype(jnp.float32)
+    q = queries.astype(corpus.dtype)
+
+    return pl.pallas_call(
+        _make_slot_stream_kernel(S, tile_n, precision),
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((b, S * 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, S * 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 128), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, S * 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, S * 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, 128), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * n * d,
+            bytes_accessed=n * d * corpus.dtype.itemsize
+            + b * 128 * (2 * S + 1) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(q, corpus, w2, m2)
 
 
 @partial(jax.jit, static_argnames=("k", "tile_n", "exact", "interpret"))
@@ -284,47 +337,36 @@ def streaming_topk(
     interpret: bool = False,
 ):
     """(B, D) x (N, D) -> exact level-weighted (values, indices) top-k
-    without materializing (B, N) scores to HBM. k must be <= 128;
-    best suited to k <= 32 (larger k makes the in-kernel exact fallback
-    trigger often — use fused_search's materialized path instead)."""
-    precision = jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
+    without materializing (B, N) scores to HBM. k must be <= 128.
+
+    Certified slot-candidate selection + ONE lax.top_k over (B, 128·S);
+    an uncertified batch (adversarial slot collisions) falls back to a
+    materialized exact scan inside the same program, so results always
+    match the full sort (ties may permute by candidate order)."""
     b, d = queries.shape
-    n, d2 = corpus.shape
-    assert d == d2, (d, d2)
-    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
+    n = corpus.shape[0]
     assert 1 <= k <= 128, k
-    num_tiles = n // tile_n
-
-    w2 = weights.reshape(1, n).astype(jnp.float32)
-    m2 = mask.reshape(1, n).astype(jnp.float32)
-    q = queries.astype(corpus.dtype)
-
-    vals, idx = pl.pallas_call(
-        _make_streaming_kernel(k, tile_n, precision),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((b, k), jnp.float32),
-            pltpu.VMEM((b, k), jnp.int32),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * corpus.dtype.itemsize + 2 * b * k * 4,
-            transcendentals=0,
-        ),
+    S = slot_depth(k)
+    cand_vals, cand_idx, bounds = streaming_candidates(
+        queries, corpus, weights, mask, S, tile_n, exact=exact,
         interpret=interpret,
-    )(q, corpus, w2, m2)
-    return vals, idx
+    )
+    vals, sel = jax.lax.top_k(cand_vals, k)
+    idx = jnp.take_along_axis(cand_idx, sel, axis=1).astype(jnp.int32)
+    T = jnp.max(bounds, axis=1)  # (B,)
+    certified = jnp.all(vals[:, k - 1] >= T)
+
+    def keep(_):
+        return vals, idx
+
+    def fallback(_):
+        # plain-XLA exact scan at the same precision (works in interpret
+        # mode and on CPU; fires only on adversarial near-tie data)
+        from .flat_topk import weighted_scores_reference
+
+        qq = queries if exact else queries.astype(corpus.dtype)
+        s = weighted_scores_reference(qq, corpus, weights, mask)
+        v, i = jax.lax.top_k(s, k)
+        return v, i.astype(jnp.int32)
+
+    return jax.lax.cond(certified, keep, fallback, None)

@@ -64,13 +64,12 @@ class ShardedFlatSearcher:
         def shard_fn(q, corpus, weights, mask):
             tile_n = 0
             if use_streaming:
-                from ..ops.pallas_score import default_tile_n
+                from ..ops.pallas_score import streaming_tile_n
 
                 try:  # VMEM-budgeted tile for the streaming live set
-                    tile_n = default_tile_n(
+                    tile_n = streaming_tile_n(
                         q.shape[0], corpus.shape[0],
-                        corpus.dtype.itemsize, dim=corpus.shape[1],
-                        temporaries=10,
+                        corpus.dtype.itemsize, dim=corpus.shape[1], k=k,
                     )
                 except ValueError:
                     tile_n = 0

@@ -45,15 +45,20 @@ class TestStreamingTopK:
         np.testing.assert_array_equal(np.asarray(idx), ri)
 
     def test_slot_collision_forces_exact_fallback(self):
-        """5 of the global top values share one 128-stride lane slot — the
-        cheap slot-top-2 pass would miss three; the certified bound must
-        trigger the exact re-merge."""
+        """8 of the global top values share one 128-stride lane slot —
+        more than the slot-state depth S (5 at k=16), so the slot pass
+        provably misses some; the certified bound must trigger the exact
+        fallback."""
+        from rag_icd10_tpu.ops.pallas_score import slot_depth
+
         rng = np.random.default_rng(99)
         n, d, k = 4096, 128, 16
+        assert slot_depth(k) < 8
         c = (rng.standard_normal((n, d)) * 0.01).astype(np.float32)
         t = rng.standard_normal(d).astype(np.float32)
         t /= np.linalg.norm(t)
-        for rank, col in enumerate([3, 131, 259, 387, 515]):  # col % 128 == 3
+        cols = [3 + 128 * i for i in range(8)]  # all in lane slot 3
+        for rank, col in enumerate(cols):
             c[col] = t * (10.0 - rank)
         q = np.tile(t, (8, 1)).astype(np.float32)
         w = np.ones(n, np.float32)
@@ -72,6 +77,27 @@ class TestStreamingTopK:
         m[1500:] = -1e9
         _, idx = _run(q, c, w, m, 10, tile_n=2048)
         assert np.asarray(idx).max() < 1500
+
+    def test_small_tile_many_merges(self):
+        """Many tiles exercise the running-state merge across grid steps
+        (state carried in VMEM-resident output blocks)."""
+        rng = np.random.default_rng(21)
+        q = rng.standard_normal((8, 128)).astype(np.float32)
+        c = rng.standard_normal((4096, 128)).astype(np.float32)
+        w = rng.choice([0.8, 1.0, 1.2], 4096).astype(np.float32)
+        m = np.zeros(4096, np.float32)
+        vals, idx = _run(q, c, w, m, 10, tile_n=256)
+        rv, ri = _ref(q, c, w, m, 10)
+        np.testing.assert_allclose(np.asarray(vals), rv, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(idx), ri)
+
+    def test_slot_depth_scales_with_k(self):
+        from rag_icd10_tpu.ops.pallas_score import slot_depth
+
+        assert slot_depth(1) == 4
+        assert slot_depth(32) == 8
+        assert slot_depth(64) == 14
+        assert slot_depth(128) == 16
 
     def test_fused_search_streaming_method(self):
         """fused_search(method='streaming') routes into the kernel and
