@@ -266,7 +266,9 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
 
     from rag_icd10_tpu.ops.flat_topk import pad_corpus
     from rag_icd10_tpu.ops.pallas_score import (
+        default_tile_n,
         fused_weighted_scores,
+        streaming_tile_n,
         streaming_topk,
     )
 
@@ -281,15 +283,17 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
         cd, wd, md = jax.device_put(cp), jax.device_put(wp), jax.device_put(m)
         qd = jax.device_put(q)
         n = cp.shape[0]
+        st_tile = streaming_tile_n(b, n, 4, dim=cp.shape[1], k=k)
+        mat_tile = default_tile_n(b, n, 4, dim=cp.shape[1])
 
         @partial(jax.jit, static_argnames=("iters", "mode"))
         def chained(q, c, w, mk, iters=iters, mode="stream"):
             def body(carry, _):
                 qq = q + carry[:, :1] * 1e-6
                 if mode == "stream":
-                    vals, _ = streaming_topk(qq, c, w, mk, k=k, tile_n=2048)
+                    vals, _ = streaming_topk(qq, c, w, mk, k=k, tile_n=st_tile)
                 else:
-                    s = fused_weighted_scores(qq, c, w, mk, tile_n=2048)
+                    s = fused_weighted_scores(qq, c, w, mk, tile_n=mat_tile)
                     vals = jax.lax.top_k(s, k)[0]
                 return vals, ()
             out, _ = jax.lax.scan(
@@ -309,8 +313,8 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
                 "corpus_gb_per_s": round(cp.nbytes / dt / 1e9, 1),
             }
         # parity of the two paths on this data
-        sv, si = streaming_topk(qd, cd, wd, md, k=k, tile_n=2048)
-        s = fused_weighted_scores(qd, cd, wd, md, tile_n=2048)
+        sv, si = streaming_topk(qd, cd, wd, md, k=k, tile_n=st_tile)
+        s = fused_weighted_scores(qd, cd, wd, md, tile_n=mat_tile)
         mv, mi = jax.lax.top_k(s, k)
         res["exact_match"] = bool(
             np.array_equal(np.asarray(si), np.asarray(mi))

@@ -194,8 +194,8 @@ def streaming_tile_n(
     batch: int, n: int, dtype_bytes: int, dim: int, k: int
 ) -> int:
     """VMEM-budgeted corpus tile for the slot-stream kernel: the merge
-    keeps ~4 live (B, S+e, 128) buffers (values, ids, row iota, masked
-    copy), i.e. ~16·B·tile tile-dependent bytes plus 16·B·S·128 of
+    keeps ~3 live (B, S+e, 128) buffers (values, ids, row iota / masked
+    copy), i.e. ~12·B·tile tile-dependent bytes plus 12·B·S·128 of
     tile-independent running state."""
     S = slot_depth(k)
     return default_tile_n(
