@@ -77,7 +77,7 @@ class APIClient:
     ) -> Dict[str, Any]:
         """POST /query (reference: ui/api_client.py:107-133; the reference
         also sends an `enhanced_processing` flag the server ignores —
-        dropped here). ``search_method`` (exact/approx/streaming/hnsw) and
+        dropped here). ``search_method`` (exact/approx/fast/streaming/hnsw) and
         ``ef_search`` are per-request index-knob overrides."""
         payload: Dict[str, Any] = {"text": text, "top_k": top_k}
         if search_method is not None:

@@ -131,6 +131,8 @@ class StoreConfig:
     metric_type: str = "IP"
     # top-k method on the flat path: "exact" (lax.top_k), "approx"
     # (lax.approx_max_k — ~4x faster selection at recall ~1.0 for k<=16),
+    # "fast" (certified chunk-select over a bf16x3 scan — ~1.5x "exact"
+    # at batch 256; uncertified batches redo exactly, ops/rerank.py),
     # or "streaming" (exact in-kernel top-k, k<=128: the (B, N) score
     # matrix never reaches HBM — the huge-corpus path)
     search_method: str = field(

@@ -119,6 +119,7 @@ class VectorStore:
         self._sharded = None  # ShardedFlatSearcher (multi-device corpus)
         self._semantic_vectors: Optional[np.ndarray] = None
         self._hnsw = None  # native graph index (index_type == "HNSW")
+        self._bound_scale = None  # w_max * max row norm (method="fast")
         self._loaded = False
         self._searches = 0
         self._created_at = time.time()
@@ -236,6 +237,13 @@ class VectorStore:
         cp, wp, m = pad_corpus(
             self._vectors, weights, multiple=self.config.pad_multiple
         )
+        # certificate scale for the "fast" (chunk-select) method:
+        # w_max * max row norm bounds any row's scan-error contribution
+        norms_sq = np.einsum("nd,nd->n", self._vectors, self._vectors)
+        self._bound_scale = float(
+            (np.max(weights) if weights.size else 1.0)
+            * np.sqrt(float(np.max(norms_sq))) if norms_sq.size else 1.0
+        )
         if self.config.device_dtype == "int8":
             # symmetric per-row quantization: 4x less HBM than fp32
             # (ops/quantized.py; FAISS-SQ8 analog, int8 MXU contraction)
@@ -301,7 +309,8 @@ class VectorStore:
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
         which handles one query; here B queries cost one device call).
 
-        ``method`` ("exact"/"approx"/"hnsw") and ``ef_search`` (HNSW beam
+        ``method`` ("exact"/"approx"/"fast"/"streaming"/"hnsw") and
+        ``ef_search`` (HNSW beam
         width) are per-request overrides of the config defaults — the
         reference exposes the same knobs through its Milvus index params
         (README_MILVUS_CONFIG.md)."""
@@ -352,6 +361,40 @@ class VectorStore:
             idx = np.take_along_axis(idx_q, order, axis=1)
             self._searches += b
             return self.build_hits(vals, idx)
+        elif (
+            method in ("fast", "chunk")
+            and "corpus" in self._dev
+            and str(self._dev["corpus"].dtype) == "float32"
+        ):
+            # certified chunk-select over a Precision.HIGH scan
+            # (ops/rerank.py): ~1.5x the HIGHEST+top_k pipeline at
+            # B=256/N=40k. Exactness is host-mediated: the per-query
+            # certificate guarantees no unfetched row can beat the k-th;
+            # an uncertified batch (near-ties at the candidate boundary)
+            # transparently redoes on the exact path.
+            from ..ops.rerank import chunk_select_search
+
+            vals, idx, cert = chunk_select_search(
+                q_pad,
+                self._dev["corpus"],
+                self._dev["weights"],
+                self._dev["mask"],
+                k=k_pad,
+                scan_precision="high",
+                guarantee=False,
+                bound_scale=self._bound_scale,
+            )
+            if not bool(np.asarray(cert).all()):
+                if _use_pallas():
+                    vals, idx = fused_search(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad, tile_n=0,
+                    )
+                else:
+                    vals, idx = flat_search_jax(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad,
+                    )
         elif _use_pallas():
             vals, idx = fused_search(
                 q_pad,

@@ -173,3 +173,39 @@ class TestStatsKnobs:
             "M": 24, "ef_construction": 111, "ef_search": 77,
         }
         assert stats["search_method"] in ("exact", "approx")
+
+
+class TestFastMethod:
+    def test_fast_matches_exact(self, store):
+        """method='fast' (certified chunk-select) returns the same hits
+        as the exact path; uncertified queries transparently redo."""
+        rng = np.random.default_rng(5)
+        q = normed(rng.standard_normal((4, 64)).astype(np.float32))
+        fast = store.search(q, 5, method="fast")
+        exact = store.search(q, 5, method="exact")
+        for rf, re_ in zip(fast, exact):
+            assert [h.code for h in rf] == [h.code for h in re_]
+            np.testing.assert_allclose(
+                [h.score for h in rf], [h.score for h in re_],
+                rtol=1e-4, atol=1e-4,
+            )
+
+    def test_fast_on_duplicate_rows_still_exact(self):
+        """Near-duplicate corpus rows (certificate-hostile ties) must
+        still produce exact results via the host-mediated redo."""
+        from rag_icd10_tpu.data.corpus import synthetic_corpus
+
+        corpus = synthetic_corpus(300, seed=2)
+        rng = np.random.default_rng(2)
+        base = normed(rng.standard_normal((1, 64)).astype(np.float32))
+        vecs = normed(
+            base + 1e-7 * rng.standard_normal((300, 64)).astype(np.float32)
+        )
+        s = VectorStore(dim=64, config=StoreConfig(pad_multiple=256))
+        s.insert_records(list(corpus.records()), vecs)
+        fast = s.search(base, 5, method="fast")
+        exact = s.search(base, 5, method="exact")
+        np.testing.assert_allclose(
+            [h.score for h in fast[0]], [h.score for h in exact[0]],
+            rtol=1e-5, atol=1e-5,
+        )
