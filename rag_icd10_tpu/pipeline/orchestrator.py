@@ -292,20 +292,38 @@ class MultiDiagnosisService:
                         vals[:, :k_eff], idx[:, :k_eff]
                     )
             else:
+                # keep the embeddings ON DEVICE between encode and search
+                # when both sides support it — skipping the host download
+                # + re-upload saves a tunnel round trip (~30 ms) per
+                # coalesced batch; the host copy for rescoring downloads
+                # while the search executes
+                device_chain = getattr(
+                    self.encoder, "encode_queries_device", None
+                ) is not None and getattr(
+                    self.store, "accepts_device_queries", False
+                )
                 with metrics.timer("encode"):
-                    query_vecs = np.asarray(
-                        self.encoder.encode_queries(encode_texts)
-                    )
+                    if device_chain:
+                        query_dev = self.encoder.encode_queries_device(
+                            encode_texts
+                        )
+                    else:
+                        query_vecs = np.asarray(
+                            self.encoder.encode_queries(encode_texts)
+                        )
                 with metrics.timer("search"):
+                    q_in = query_dev if device_chain else query_vecs
                     if (
                         search_method is None and ef_search is None
                     ) or not _store_knob_aware(self.store):
-                        all_hits = self.store.search(query_vecs, k_fetch)
+                        all_hits = self.store.search(q_in, k_fetch)
                     else:
                         all_hits = self.store.search(
-                            query_vecs, k_fetch,
+                            q_in, k_fetch,
                             method=search_method, ef_search=ef_search,
                         )
+                    if device_chain:
+                        query_vecs = np.asarray(query_dev)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
 

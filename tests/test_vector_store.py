@@ -209,3 +209,33 @@ class TestFastMethod:
             [h.score for h in fast[0]], [h.score for h in exact[0]],
             rtol=1e-5, atol=1e-5,
         )
+
+
+class TestDeviceQueries:
+    def test_search_accepts_jax_arrays(self, store):
+        """Device (jax) query arrays must produce identical hits to the
+        numpy path — the serving hot path feeds encoder output straight
+        in without a host round trip."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(9)
+        q = normed(rng.standard_normal((3, 64)).astype(np.float32))
+        host = store.search(q, 5)
+        dev = store.search(jnp.asarray(q), 5)
+        for rh, rd in zip(host, dev):
+            assert [h.code for h in rh] == [h.code for h in rd]
+            np.testing.assert_allclose(
+                [h.score for h in rh], [h.score for h in rd], rtol=1e-6
+            )
+
+    def test_device_1d_query_and_hnsw_fallback(self, store):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(10)
+        q = normed(rng.standard_normal((64,)).astype(np.float32))
+        dev = store.search(jnp.asarray(q), 3)
+        host = store.search(q, 3)
+        assert [h.code for h in dev[0]] == [h.code for h in host[0]]
+        # hnsw path pulls the device array to host transparently
+        dev_h = store.search(jnp.asarray(q), 3, method="hnsw")
+        assert len(dev_h[0]) == 3
