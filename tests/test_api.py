@@ -257,6 +257,17 @@ class TestSearchKnobs:
         codes_graph = [c["code"] for c in j["candidates"]]
         assert codes_graph == codes_exact
 
+    def test_fast_method_via_api(self, client):
+        """search_method=fast (certified chunk-select) returns the same
+        candidates as the default exact path."""
+        baseline = post(client, "/query", {"text": "急性胃肠炎", "top_k": 3})[1]
+        status, j = post(client, "/query", {
+            "text": "急性胃肠炎", "top_k": 3, "search_method": "fast"})
+        assert status == 200, j
+        assert [c["code"] for c in j["candidates"]] == [
+            c["code"] for c in baseline["candidates"]
+        ]
+
     def test_invalid_method_rejected(self, client):
         status, j = post(client, "/query", {
             "text": "急性胃肠炎", "search_method": "bogus"})
