@@ -295,7 +295,8 @@ class APIConfig:
         default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
     )
     # Extra per-request search methods to pre-compile at startup
-    # (comma-separated: "streaming", "hnsw", "approx"). Off by default —
+    # (comma-separated: "streaming", "hnsw", "approx", "fast"). Off by
+    # default —
     # each streaming bucket is its own Pallas compile, and hnsw warmup
     # builds the graph — so only pay it when clients actually use the
     # per-request knobs.

@@ -222,7 +222,7 @@ class Engine:
             t0 = time.time()
             if method == "hnsw":
                 self.store.build_hnsw()
-            elif method in ("streaming", "approx", "exact"):
+            elif method in ("streaming", "approx", "exact", "fast"):
                 for size in sizes:
                     q = rng.standard_normal((size, self.store.dim)).astype(
                         np.float32

@@ -88,7 +88,7 @@ class TestBuilderEngineRoundtrip:
                 cfg.store, db_path=str(tmp_path / "store"), pad_multiple=128
             ),
             api=dataclasses.replace(
-                cfg.api, warmup_methods="streaming,hnsw", max_batch=2
+                cfg.api, warmup_methods="streaming,fast,hnsw", max_batch=2
             ),
         )
         assert DatabaseBuilder(cfg).build_full_database(rebuild=True)
