@@ -69,7 +69,12 @@ def main() -> None:
     # host-mediated — the caller redoes uncertified batches on the exact
     # path. This bench asserts certified_fraction and measured recall
     # instead; values carry <=4e-5 certified scan rounding.
-    bscale = float(np.max(weights))
+    # certificate scale = w_max * max row norm (rows are unit-norm from
+    # the encoder, but a store with unnormalized vectors must not
+    # silently weaken the certificate)
+    bscale = float(np.max(weights)) * float(
+        np.linalg.norm(vectors, axis=1).max()
+    )
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(q, corpus, w, m, iters=ITERS):

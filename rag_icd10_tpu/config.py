@@ -295,13 +295,12 @@ class APIConfig:
         default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
     )
     # Extra per-request search methods to pre-compile at startup
-    # (comma-separated: "streaming", "hnsw", "approx", "fast"). Off by
-    # default —
-    # each streaming bucket is its own Pallas compile, and hnsw warmup
-    # builds the graph — so only pay it when clients actually use the
-    # per-request knobs.
+    # (comma-separated: "streaming", "hnsw", "approx", "fast"). Defaults
+    # to the cheap set so a fresh server never 504s on a documented
+    # knob's first use; "hnsw" stays opt-in because its warmup builds
+    # the graph (minutes) unless a persisted graph exists.
     warmup_methods: str = field(
-        default_factory=lambda: _env("WARMUP_SEARCH_METHODS", "")
+        default_factory=lambda: _env("WARMUP_SEARCH_METHODS", "fast,streaming")
     )
 
 

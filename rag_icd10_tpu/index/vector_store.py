@@ -191,6 +191,11 @@ class VectorStore:
         self._loaded = False  # device state is stale
         self._dev = None
         self._sharded = None
+        # the graph index and the certificate scale cover only the old
+        # rows; drop them so save() cannot persist a stale graph and the
+        # fast-path bound is recomputed over the appended rows
+        self._hnsw = None
+        self._bound_scale = None
         return len(records)
 
     # ----------------------------------------------------------- lifecycle
@@ -358,7 +363,13 @@ class VectorStore:
             q_pad = np.zeros((b_pad, self.dim), dtype=np.float32)
             q_pad[:b] = q
         if self._sharded is not None:
-            vals, idx = self._sharded.search(q_pad, k=k_pad)
+            # per-request method knob is honored per shard (hnsw was
+            # dispatched to the host graph path above; an unsupported
+            # method raises so the API can 400 instead of silently
+            # falling back)
+            vals, idx = self._sharded.search(
+                q_pad, k=k_pad, method="auto" if method == "exact" else method
+            )
         elif self._dev is not None and "corpus_q" in self._dev:
             # two-stage quantized scan: int8 MXU over-fetch (4k) on device,
             # exact fp32 re-rank of the tiny candidate set against the
@@ -390,6 +401,7 @@ class VectorStore:
             return self.build_hits(vals, idx)
         elif (
             method in ("fast", "chunk")
+            and self._dev is not None
             and "corpus" in self._dev
             and str(self._dev["corpus"].dtype) == "float32"
         ):

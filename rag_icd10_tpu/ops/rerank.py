@@ -44,10 +44,13 @@ import jax.numpy as jnp
 EPS_BF16_DOT = 4.2e-3
 
 # Error coefficient for Precision.HIGH (bf16x3): x splits into bf16 hi+lo
-# with residual ≤ 2^-18|x|; the dropped lo·lo term, split residuals and
-# fp32 accumulation give |err| ≤ ~(2^-16 + 2e-5)·‖q‖·‖c‖ (measured max
-# 6.7e-6 on the real 40k corpus at B=256 — a 6x margin).
-EPS_HIGH_DOT = 4.0e-5
+# with residual ≤ 2^-18|x|; the dropped lo·lo term and split residuals
+# contribute ~2^-16·‖q‖·‖c‖, and fp32 accumulation of d ≤ 1024 terms adds
+# up to d·2^-24·1.01 ≈ 6.2e-5·‖q‖·‖c‖ in the worst (sequential) case —
+# TPU tree accumulation only uses log2(d)·2^-24, but soundness must not
+# assume the reduction order. Measured max on the real 40k corpus at
+# B=256: 6.7e-6 (a 12x margin under the sequential-worst-case bound).
+EPS_HIGH_DOT = 8.0e-5
 
 
 def bf16_scan_bound(
@@ -225,8 +228,11 @@ def chunk_select_search(
         pass ``corpus_f32``): the top ``m`` candidates re-rank at fp32
         HIGHEST and the certificate uses the bf16 error bound.
     guarantee=True: an uncertified batch falls back to a materialized
-    exact top-k inside the same program — the result SET is ALWAYS
-    exact.
+    exact top-k inside the same program. For "highest" and "bf16" the
+    result SET is then always exact; for "high" it is exact up to
+    pairs whose true scores differ by < 2·EPS_HIGH_DOT·‖q‖·max‖c‖
+    (duplicate-grade ties) permuting across the k boundary — the
+    certificate bounds unfetched rows, not in-window HIGH rounding.
 
     Returns (values (B,k) fp32, indices (B,k) int32, certified (B,)).
     """

@@ -89,8 +89,13 @@ class DatabaseBuilder:
         cfg = self.config
         base = cfg.store.db_path
         if VectorStore.exists(base) and not rebuild:
-            logger.info("store already exists at %s (use --rebuild to replace)", base)
-            return self.verify_database()
+            # incremental mode (reference tools/build_database.py:297-310
+            # runs 增量模式 and inserts into the existing collection).
+            # Divergence, documented: the reference blindly re-inserts
+            # every CSV row (Milvus auto-ids let duplicates pile up);
+            # here only rows whose (code, title) is not already stored
+            # are appended, so repeated no-flag builds are idempotent.
+            return self.append_to_database(input_file)
 
         path = input_file or cfg.data_path
         if path and Path(path).exists():
@@ -126,6 +131,77 @@ class DatabaseBuilder:
         }
         Path(str(base) + ".encoder.json").write_text(json.dumps(encoder_sidecar))
         logger.info("store persisted to %s", base)
+        store.load_collection()
+        return self.verify_database(store=store, encoder=encoder)
+
+    def append_to_database(self, input_file: Optional[str] = None) -> bool:
+        """Incremental build: append CSV rows not already in the store.
+
+        Reference parity: ``build_full_database`` without ``--rebuild``
+        runs in incremental mode and inserts into the existing collection
+        (reference tools/build_database.py:297-310). A stale persisted
+        HNSW graph is removed (``insert_records`` drops the in-memory
+        graph; the ``.hnsw`` sidecar must not outlive the rows it was
+        built over) — rebuild it with ``--hnsw``.
+        """
+        cfg = self.config
+        base = cfg.store.db_path
+        store = VectorStore.load(
+            base, config=cfg.store, hnsw_config=cfg.hnsw
+        )
+
+        path = input_file or cfg.data_path
+        if not (path and Path(path).exists()):
+            logger.info(
+                "store exists and no input CSV found — verification only"
+            )
+            return self.verify_database(store=store)
+        corpus = ICDCorpus.from_csv(path)
+        existing = set(zip(store.corpus.codes, store.corpus.titles))
+        new_records = [
+            r for r in corpus.records()
+            if (r.code, r.preferred_zh) not in existing
+        ]
+        if not new_records:
+            logger.info("store already contains all %d CSV rows", len(corpus))
+            return self.verify_database(store=store)
+
+        # the appended rows MUST be embedded by the same encoder that
+        # built the store (the sidecar records it; runtime.py refuses a
+        # mismatch at serve time)
+        import json
+
+        sidecar_path = Path(str(base) + ".encoder.json")
+        if sidecar_path.exists():
+            sidecar = json.loads(sidecar_path.read_text())
+            want = sidecar.get("weights_path")
+            have = (
+                str(Path(cfg.encoder.weights_path).resolve())
+                if cfg.encoder.weights_path
+                else None
+            )
+            if want != have:
+                logger.warning(
+                    "encoder weights differ from the store sidecar "
+                    "(%s vs %s) — appended vectors may be inconsistent; "
+                    "set ENCODER_WEIGHTS_PATH to match or --rebuild",
+                    have, want,
+                )
+        encoder = self._init_encoder(store.corpus)
+        logger.info(
+            "appending %d new records (of %d CSV rows) to %d existing",
+            len(new_records), len(corpus), store.num_entities,
+        )
+        vectors = embed_sorted(
+            encoder, [r.semantic_text for r in new_records]
+        )
+        store.insert_records(new_records, vectors)
+        store.save(base)
+        stale_graph = Path(str(base) + ".hnsw")
+        if stale_graph.exists():
+            logger.info("removing stale HNSW graph %s (rebuild with --hnsw)",
+                        stale_graph)
+            stale_graph.unlink()
         store.load_collection()
         return self.verify_database(store=store, encoder=encoder)
 

@@ -147,6 +147,18 @@ class TestEndpoints:
         # scores may exceed 1.0 (enhanced, SURVEY §2.5#5)
         assert 0.0 <= m["match_confidence"] <= 1.0
 
+    def test_query_ignores_unknown_fields(self, client):
+        """Reference leniency quirk (SURVEY §2.5#6): the reference's own
+        UI sends extra fields like enhanced_processing that the server
+        silently ignores (reference ui/api_client.py:119-123) — unknown
+        fields must be accepted, not 400'd."""
+        status, j = post(client, "/query", {
+            "text": "急性胃肠炎", "top_k": 3,
+            "enhanced_processing": True, "not_a_real_field": 1,
+        })
+        assert status == 200
+        assert "candidates" in j
+
     def test_query_validation(self, client):
         status, j = post(client, "/query", {"text": "", "top_k": 3})
         assert status == 400

@@ -108,6 +108,62 @@ class TestBuilderEngineRoundtrip:
         assert result["total_matches"] > 0
         engine.shutdown()
 
+    def test_incremental_append(self, tiny_env):
+        """build_full_database without --rebuild appends new CSV rows to
+        the existing store (reference tools/build_database.py:297-310
+        incremental mode), removes a stale persisted HNSW graph, and a
+        reloaded store's search sees the appended rows."""
+        tmp_path, cfg = tiny_env
+        import dataclasses
+
+        from rag_icd10_tpu.tools.build_database import DatabaseBuilder
+
+        base = str(tmp_path / "store")
+        cfg = dataclasses.replace(
+            cfg,
+            store=dataclasses.replace(
+                cfg.store, db_path=base, pad_multiple=128
+            ),
+        )
+        csv_v1 = tmp_path / "icd_v1.csv"
+        csv_v1.write_text(
+            "code,disease\n"
+            "A01.0,伤寒\nA01.1,副伤寒甲\nB01.9,水痘\n"
+            "C34.9,肺恶性肿瘤\nE11.9,2型糖尿病\n",
+            encoding="utf-8",
+        )
+        builder = DatabaseBuilder(cfg)
+        assert builder.build_full_database(str(csv_v1), rebuild=True)
+        store = VectorStore.load(base, config=cfg.store)
+        n1 = store.num_entities
+        assert "J18.9" not in store.corpus.codes
+        # persist a graph so the append has something stale to invalidate
+        store.build_hnsw()
+        store._hnsw.save(base + ".hnsw")
+        assert Path(base + ".hnsw").exists()
+
+        csv_v2 = tmp_path / "icd_v2.csv"
+        csv_v2.write_text(
+            csv_v1.read_text(encoding="utf-8")
+            + "J18.9,肺炎\nI10,特发性高血压\n",
+            encoding="utf-8",
+        )
+        # no rebuild flag -> incremental append of the two new rows
+        assert builder.build_full_database(str(csv_v2), rebuild=False)
+        assert not Path(base + ".hnsw").exists()  # stale graph removed
+
+        store2 = VectorStore.load(base, config=cfg.store)
+        assert store2.num_entities == n1 + 2
+        assert "J18.9" in store2.corpus.codes
+        # appended rows are searchable end to end
+        enc = builder._init_encoder(store2.corpus)
+        hits = store2.search(enc.encode_query("肺炎"), top_k=store2.num_entities)[0]
+        assert any(h.code == "J18.9" for h in hits)
+        # idempotent: a third run with the same CSV appends nothing
+        assert builder.build_full_database(str(csv_v2), rebuild=False)
+        store3 = VectorStore.load(base, config=cfg.store)
+        assert store3.num_entities == n1 + 2
+
     def test_verify_only_without_store_fails_cleanly(self, tiny_env):
         tmp_path, cfg = tiny_env
         import dataclasses

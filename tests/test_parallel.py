@@ -130,6 +130,42 @@ class TestShardedSearch:
         got_scores = np.take_along_axis(expected, idx, axis=1)
         np.testing.assert_allclose(got_scores, evals, rtol=1e-4, atol=1e-5)
 
+    def test_method_knobs_honored_per_shard(self):
+        """Per-request search methods route into the per-shard kernel
+        instead of being silently ignored (VERDICT r2 #7): exact/fast
+        return the exact weighted top-k, approx stays high-recall, and
+        unsupported methods raise for the API to surface as 400."""
+        rng = np.random.default_rng(2)
+        n, d, b, k = 1536, 64, 4, 10
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        weights = np.array([1.2, 1.0, 0.8], dtype=np.float32)[
+            rng.integers(0, 3, size=n)
+        ]
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        expected = (q @ corpus.T) * weights[None, :]
+        eidx = np.argsort(-expected, axis=1)[:, :k]
+        evals = np.take_along_axis(expected, eidx, axis=1)
+
+        mesh = make_mesh(n_devices=8, dp=8, tp=1)
+        searcher = ShardedFlatSearcher(corpus, weights, mesh, axis="dp")
+        for method in ("exact", "fast", "streaming", "auto"):
+            vals, idx = searcher.search(q, k, method=method)
+            np.testing.assert_allclose(
+                vals, evals, rtol=1e-4, atol=1e-5, err_msg=method
+            )
+            got = np.take_along_axis(expected, idx, axis=1)
+            np.testing.assert_allclose(
+                got, evals, rtol=1e-4, atol=1e-5, err_msg=method
+            )
+        # approx: recall >= 0.9 against the exact set per query
+        vals, idx = searcher.search(q, k, method="approx")
+        for row_idx, row_eidx in zip(idx, eidx):
+            assert len(set(row_idx) & set(row_eidx)) >= int(0.9 * k)
+        with pytest.raises(ValueError, match="not available"):
+            searcher.search(q, k, method="hnsw")
+
     def test_padding_not_returned(self):
         rng = np.random.default_rng(1)
         corpus = rng.standard_normal((777, 64)).astype(np.float32)
