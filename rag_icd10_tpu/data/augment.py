@@ -14,9 +14,17 @@ training pipeline generated:
 - synonym pairs are split deterministically (md5 parity) into a train half
   and an eval half;
 - transform CLASSES are also split: training uses char dropout +
-  parenthetical stripping + train-half synonyms; eval uses adjacent char
-  swaps, laterality ("左/右/双侧") dropping, and eval-half synonyms —
-  classes the training never applied.
+  parenthetical stripping + train-half synonyms (both directions) +
+  connective-order swaps; eval uses adjacent char swaps, laterality
+  ("左/右/双侧") dropping, and eval-half synonyms — classes the training
+  never applied.
+
+Uncertainty markers (疑似/待查/考虑/可能/排除) are NOT part of this split:
+they are the reference's fixed marker vocabulary
+(uncertainty_diagnosis_service.py:20-41), i.e. an observable contract, so
+training deliberately exposes them (wrap_uncertainty) and the eval
+uncertainty tier measures marker robustness, not transform
+generalization.
 """
 
 from __future__ import annotations
@@ -146,20 +154,88 @@ def drop_laterality(text: str) -> Optional[str]:
     return out if out != text and len(out) >= 2 else None
 
 
+# the reference's uncertainty marker vocabulary
+# (uncertainty_diagnosis_service.py:20-41) — a fixed observable contract,
+# exposed at train time so raw marker-attached queries embed near their
+# clean titles (pipeline/orchestrator.py documents the pre-exposure
+# brittleness that forced marker stripping before encoding)
+UNCERTAINTY_WRAPPERS: Tuple[str, ...] = (
+    "疑似{t}",
+    "{t}待查",
+    "考虑{t}",
+    "{t}可能",
+    "排除{t}",
+    "{t}？",
+    "不排除{t}",
+)
+
+# connectives whose operand order clinicians routinely flip
+# ("胃溃疡伴出血" vs "出血伴胃溃疡"-style queries)
+_CONNECTIVES: Tuple[str, ...] = ("伴有", "合并", "并发", "继发", "伴", "及")
+
+
+def wrap_uncertainty(title: str, rng) -> str:
+    """Wrap a title in one of the reference's uncertainty markers."""
+    tpl = UNCERTAINTY_WRAPPERS[int(rng.integers(0, len(UNCERTAINTY_WRAPPERS)))]
+    return tpl.format(t=title)
+
+
+def swap_connective(text: str) -> Optional[str]:
+    """Swap the operands of the first connective ("A伴B" -> "B伴A") —
+    the word-order robustness class (TRAIN)."""
+    for conn in _CONNECTIVES:
+        pos = text.find(conn)
+        if 0 < pos < len(text) - len(conn):
+            left, right = text[:pos], text[pos + len(conn):]
+            if left and right:
+                return right + conn + left
+    return None
+
+
+def expand_abbrev(text: str) -> Optional[str]:
+    """Reverse direction of the train-half synonyms (variant -> formal):
+    queries often contain the colloquial form that must map back."""
+    for formal, variant in _split_pairs()[0]:
+        if variant in text and formal not in text:
+            return text.replace(variant, formal, 1)
+    return None
+
+
+def augmentation_charset_texts() -> List[str]:
+    """Every string the augmentation pipeline can inject — the tokenizer
+    vocab must cover these chars or augmented anchors degrade to [UNK]
+    (synonym variants like 蛀牙 and marker chars like 疑 need not appear
+    anywhere in the corpus text)."""
+    out = [v for _, v in SYNONYM_PAIRS] + [f for f, _ in SYNONYM_PAIRS]
+    out += [tpl.format(t="") for tpl in UNCERTAINTY_WRAPPERS]
+    out += list(_CONNECTIVES)
+    return out
+
+
 def augment_train(title: str, rng) -> Optional[str]:
     """One TRAIN-class perturbation of a title (or None to keep as-is).
 
-    Classes: train-half synonyms, parenthetical stripping, char dropout.
-    EVAL-class transforms (char swap, laterality drop, eval-half synonyms)
-    are deliberately NOT applied here — see module docstring.
+    Classes: train-half synonyms (both directions), parenthetical
+    stripping, connective-order swap, char dropout. EVAL-class transforms
+    (char swap, laterality drop, eval-half synonyms) are deliberately NOT
+    applied here — see module docstring. Marker wrapping is composable on
+    top (wrap_uncertainty) and handled by the training batch sampler.
     """
-    choice = int(rng.integers(0, 3))
+    choice = int(rng.integers(0, 5))
     if choice == 0:
         out = apply_synonym(title, _split_pairs()[0])
         if out:
             return out
     if choice == 1:
         out = strip_parenthetical(title)
+        if out:
+            return out
+    if choice == 2:
+        out = swap_connective(title)
+        if out:
+            return out
+    if choice == 3:
+        out = expand_abbrev(title)
         if out:
             return out
     # fall through: char dropout applies to most titles

@@ -77,7 +77,14 @@ class DatabaseBuilder:
             tok = WordPieceTokenizer.from_vocab_file(vocab_path)
         else:
             logger.info("building tokenizer vocab from corpus")
-            tok = WordPieceTokenizer.from_corpus(corpus.titles + corpus.semantic_texts)
+            # include the augmentation charset so query-side synonym
+            # variants and uncertainty-marker chars never hit [UNK]
+            from ..data.augment import augmentation_charset_texts
+
+            tok = WordPieceTokenizer.from_corpus(
+                corpus.titles + corpus.semantic_texts
+                + augmentation_charset_texts()
+            )
             Path(vocab_path).parent.mkdir(parents=True, exist_ok=True)
             tok.save_vocab(vocab_path)
         self.encoder = TextEncoder(cfg.encoder, tokenizer=tok)

@@ -53,11 +53,17 @@ class Example:
     ga: int  # title id of the anchor's source title
     gb: int  # title id of the record behind the positive
     sib_titles: Tuple[str, ...]  # same-parent distinct titles (hard negs)
+    cousin_titles: Tuple[str, ...]  # same-grandparent, different parent
     augment: bool  # parent-pairs keep the exact child title
 
 
 def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
-    """Corpus -> training examples + the title->id interning map."""
+    """Corpus -> training examples + the title->id interning map.
+
+    Hard negatives come from the hierarchy: SIBLINGS (same parent — the
+    most confusable class) and COUSINS (same grandparent, different
+    parent — confusable one ring out, e.g. neighboring category blocks).
+    """
     title_ids: Dict[str, int] = {}
 
     def tid(t: str) -> int:
@@ -73,20 +79,32 @@ def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
     titles = corpus.titles
     for i in range(len(corpus)):
         t = titles[i]
+        parent = corpus.parent_codes[i]
         sibs = tuple(
-            titles[j]
-            for j in kids.get(corpus.parent_codes[i], ())
-            if titles[j] != t
+            titles[j] for j in kids.get(parent, ()) if titles[j] != t
         )
+        cousins: Tuple[str, ...] = ()
+        pi = c2i.get(parent)
+        if pi is not None:
+            gparent = corpus.parent_codes[pi]
+            cousins = tuple(
+                titles[j]
+                for uncle in kids.get(gparent, ())
+                if corpus.codes[uncle] != parent
+                for j in kids.get(corpus.codes[uncle], ())[:3]
+                if titles[j] != t
+            )[:12]
         examples.append(
-            Example(t, corpus.semantic_texts[i], tid(t), tid(t), sibs, True)
+            Example(
+                t, corpus.semantic_texts[i], tid(t), tid(t), sibs,
+                cousins, True,
+            )
         )
-        pi = c2i.get(corpus.parent_codes[i])
         if pi is not None and titles[pi] != t:
             examples.append(
                 Example(
                     t, corpus.semantic_texts[pi], tid(t), tid(titles[pi]),
-                    sibs, False,
+                    sibs, cousins, False,
                 )
             )
     return examples, title_ids
@@ -117,10 +135,15 @@ def draw_batch(
     seq_a: int,
     seq_b: int,
     augment_prob: float,
+    marker_prob: float = 0.0,
 ):
     """Materialize one triplet batch; augmentation and hard-negative
-    sampling are fresh each draw (new perturbations every epoch)."""
-    from ..data.augment import augment_train
+    sampling are fresh each draw (new perturbations every epoch).
+
+    marker_prob wraps the (possibly augmented) anchor in one of the
+    reference's uncertainty markers — composable with other transforms
+    the way real queries compose them ("疑似心梗")."""
+    from ..data.augment import augment_train, wrap_uncertainty
     from ..parallel.train import make_triplet_batch
 
     texts_a, texts_b, texts_h = [], [], []
@@ -132,8 +155,14 @@ def draw_batch(
             v = augment_train(a, rng)
             if v:
                 a = v
-        if e.sib_titles:
-            h = e.sib_titles[int(rng.integers(0, len(e.sib_titles)))]
+        if rng.random() < marker_prob:
+            a = wrap_uncertainty(a, rng)
+        # hard negative: sibling 70% of draws, cousin 30% (when present)
+        pool = e.sib_titles
+        if e.cousin_titles and (not pool or rng.random() < 0.3):
+            pool = e.cousin_titles
+        if pool:
+            h = pool[int(rng.integers(0, len(pool)))]
         else:
             # random title; the loss masks it if it happens to collide
             h = corpus_titles[int(rng.integers(0, len(corpus_titles)))]
@@ -158,7 +187,12 @@ def main(argv=None) -> int:
     parser.add_argument("--seq-b", type=int, default=96,
                         help="positive (semantic_text, p99~94 chars) length")
     parser.add_argument("--lr", type=float, default=1e-4)
-    parser.add_argument("--augment-prob", type=float, default=0.3)
+    parser.add_argument("--augment-prob", type=float, default=0.4)
+    parser.add_argument(
+        "--marker-prob", type=float, default=0.25,
+        help="probability of wrapping an anchor in one of the reference's "
+        "uncertainty markers (composable with --augment-prob transforms)",
+    )
     parser.add_argument("--out", default="db/trained")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", type=int, default=0, help="mesh dp (0 = single device)")
@@ -201,12 +235,18 @@ def main(argv=None) -> int:
             len(examples), len(title_ids), len(corpus),
         )
 
-    vocab_path = str(Path(cfg.store.db_path).with_suffix("")) + ".vocab.txt"
-    if Path(vocab_path).exists():
-        tok = WordPieceTokenizer.from_vocab_file(vocab_path)
+    # vocab must cover the augmentation charset (synonym variants, marker
+    # chars) or augmented anchors degrade to [UNK] — build fresh from
+    # corpus + augmentation texts unless an explicit vocab is configured
+    from ..data.augment import augmentation_charset_texts
+
+    if cfg.encoder.vocab_path and Path(cfg.encoder.vocab_path).exists():
+        tok = WordPieceTokenizer.from_vocab_file(cfg.encoder.vocab_path)
     else:
-        tok = WordPieceTokenizer.from_corpus(corpus.titles + corpus.semantic_texts)
-        tok.save_vocab(vocab_path)
+        tok = WordPieceTokenizer.from_corpus(
+            corpus.titles + corpus.semantic_texts
+            + augmentation_charset_texts()
+        )
 
     enc_cfg = cfg.encoder
     arch = BertArch(
@@ -285,6 +325,7 @@ def main(argv=None) -> int:
             batch = draw_batch(
                 examples, idx, corpus.titles, title_ids, rng, tok,
                 args.seq_a, args.seq_b, args.augment_prob,
+                args.marker_prob,
             )
         params, opt_state, m = run_step(params, opt_state, batch)
         losses.append(float(m["loss"]))

@@ -59,6 +59,51 @@ class TestSplitIntegrity:
         assert not (set(tr) & set(ev))
         assert len(ev) >= 10  # enough eval templates
 
+    def test_train_transforms_stay_out_of_eval_classes(self):
+        """New TRAIN-class transforms must not reproduce an EVAL-class
+        output: connective swap / abbrev expansion / marker wrap never
+        equal a char swap, laterality drop, or eval-half synonym of the
+        same title."""
+        import numpy as np
+
+        from rag_icd10_tpu.data.augment import (
+            augment_train,
+            eval_synonyms,
+            wrap_uncertainty,
+        )
+
+        rng = np.random.default_rng(3)
+        titles = ["左侧肺恶性肿瘤", "胃溃疡伴出血", "急性阑尾炎",
+                  "系统性红斑狼疮", "2型糖尿病伴酮症酸中毒"]
+        ev_syn = eval_synonyms()
+        for t in titles:
+            evalish = {v for f, v in ev_syn if f in t}
+            for _ in range(50):
+                out = augment_train(t, rng)
+                if out:
+                    assert out not in evalish, (t, out)
+
+    def test_new_train_transforms(self):
+        import numpy as np
+
+        from rag_icd10_tpu.data.augment import (
+            augmentation_charset_texts,
+            expand_abbrev,
+            swap_connective,
+            wrap_uncertainty,
+        )
+
+        assert swap_connective("胃溃疡伴出血") == "出血伴胃溃疡"
+        assert swap_connective("高血压") is None
+        assert expand_abbrev("冠心病") == "冠状动脉粥样硬化性心脏病"
+        rng = np.random.default_rng(0)
+        wrapped = {wrap_uncertainty("肺炎", rng) for _ in range(40)}
+        assert "疑似肺炎" in wrapped and "肺炎待查" in wrapped
+        # charset texts cover marker + variant chars absent from ICD text
+        blob = "".join(augmentation_charset_texts())
+        for ch in "疑似待查蛀":
+            assert ch in blob, ch
+
     def test_eval_set_deterministic(self, corpus):
         a = build_eval_set(corpus, seed=5)
         b = build_eval_set(corpus, seed=5)
