@@ -333,6 +333,103 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
     return out
 
 
+def config7_int8_4m(cfg, corpus, vectors, weights) -> Dict:
+    """1/4-memory serving demonstrated end-to-end: a 4M x 768 corpus
+    resides on device ONLY as int8 (+ per-row fp32 scales) — 3.1 GB where
+    fp32 needs 12.3 GB — searched with the device-side re-rank
+    (full-precision query x dequantized candidates,
+    ops/quantized.py int8_search_device_rerank). recall@10 is measured
+    against the TRUE fp32 ranking, computed chunk-wise on the host while
+    the fp32 chunks are discarded after quantization. The reference can
+    only ESTIMATE memory (milvus_service.py:497-522)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_icd10_tpu.ops.quantized import (
+        int8_search_device_rerank,
+        quantize_rows,
+    )
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "4M int8 residency bench requires the TPU"}
+
+    n, d, b, k, iters = 4_194_304, 768, 8, 10, 3
+    chunk = 262_144
+    rng = np.random.default_rng(42)
+    probes = rng.standard_normal((b, d)).astype(np.float32)
+    probes /= np.linalg.norm(probes, axis=1, keepdims=True)
+
+    q_parts, s_parts, w_parts = [], [], []
+    # running exact fp32 weighted top-k on the host (ground truth)
+    best_vals = np.full((b, k), -np.inf, np.float32)
+    best_idx = np.full((b, k), -1, np.int64)
+    t_gen = time.time()
+    for lo in range(0, n, chunk):
+        block = rng.standard_normal((chunk, d)).astype(np.float32)
+        block /= np.linalg.norm(block, axis=1, keepdims=True)
+        wblk = rng.choice([0.8, 1.0, 1.2], chunk).astype(np.float32)
+        qb, sb = quantize_rows(block)
+        q_parts.append(qb)
+        s_parts.append(sb)
+        w_parts.append(wblk)
+        scores = (probes @ block.T) * wblk[None, :]
+        cat_v = np.concatenate([best_vals, scores], axis=1)
+        cat_i = np.concatenate(
+            [best_idx, np.arange(lo, lo + chunk)[None, :].repeat(b, 0)],
+            axis=1,
+        )
+        sel = np.argsort(-cat_v, axis=1)[:, :k]
+        best_vals = np.take_along_axis(cat_v, sel, axis=1)
+        best_idx = np.take_along_axis(cat_i, sel, axis=1)
+        del block, scores, cat_v, cat_i
+    corpus_q = np.concatenate(q_parts)
+    scales = np.concatenate(s_parts)
+    wts = np.concatenate(w_parts)
+    del q_parts, s_parts, w_parts
+    gen_s = time.time() - t_gen
+
+    cq = jax.device_put(corpus_q)
+    sc = jax.device_put(scales)
+    wd = jax.device_put(wts)
+    md = jax.device_put(np.zeros(n, np.float32))
+    qd = jax.device_put(probes)
+
+    @partial(jax.jit, static_argnames=("iters",))
+    def chained(q, cq, sc, w, m, iters=iters):
+        def body(carry, _):
+            qq = q + carry[:, :1] * 1e-6
+            vals, idx = int8_search_device_rerank(
+                qq, cq, sc, w, m, k=k
+            )
+            return vals, idx
+
+        vals, idxs = jax.lax.scan(
+            body, jnp.zeros((q.shape[0], k), jnp.float32),
+            jnp.arange(iters),
+        )
+        return vals, idxs
+
+    _, idxs = jax.block_until_ready(chained(qd, cq, sc, wd, md))  # compile
+    t0 = time.time()
+    _, idxs = jax.block_until_ready(chained(qd, cq, sc, wd, md))
+    dt = (time.time() - t0) / iters
+    got = np.asarray(idxs)[-1]  # (b, k) from the last iteration
+    recall = np.mean([
+        len(set(got[i]) & set(best_idx[i])) / k for i in range(b)
+    ])
+    return {
+        "n_rows": n,
+        "dim": d,
+        "device_int8_gb": round((corpus_q.nbytes + scales.nbytes) / 1e9, 2),
+        "fp32_equivalent_gb": round(n * d * 4 / 1e9, 2),
+        "scan_ms": round(dt * 1000, 2),
+        "qps": round(b / dt, 1),
+        "corpus_gb_per_s": round(corpus_q.nbytes / dt / 1e9, 1),
+        "recall_at_10_vs_true_fp32": round(float(recall), 4),
+        "host_groundtruth_s": round(gen_s, 1),
+    }
+
+
 CONFIGS = {
     1: ("exact cosine top-5", config1_exact_top5),
     2: ("HNSW efSearch sweep vs flat", config2_hnsw_sweep),
@@ -340,6 +437,7 @@ CONFIGS = {
     4: ("multi-diagnosis batch", config4_multi_diagnosis),
     5: ("end-to-end standardize path", config5_standardize_qps),
     6: ("streaming in-kernel top-k vs materialized", config6_streaming_topk),
+    7: ("4M-row int8 quarter-memory serving", config7_int8_4m),
 }
 
 

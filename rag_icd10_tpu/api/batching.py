@@ -23,6 +23,16 @@ Overload/failure behavior (SURVEY.md §5 failure-detection row):
 Requests carrying per-request search knobs (search_method / ef_search)
 still coalesce: the worker groups a collected batch by knob key and runs
 one matcher call per group (almost always a single default group).
+
+Pipelining: when the matcher exposes the three-stage split
+(extract_stage / device_stage / rescore_stage,
+pipeline/orchestrator.py), up to two batches are in flight at once —
+batch n+1's host extraction overlaps batch n's device wait, and batch
+n's host rescoring overlaps batch n+1's device work. Device work STILL
+runs on the single device thread (jit-cache friendly, strictly
+serialized); only the host stages move to a separate 2-thread pool, so
+steady-state throughput approaches max(device, host) per batch instead
+of their sum. The reference processes each request fully sequentially.
 """
 
 from __future__ import annotations
@@ -61,6 +71,7 @@ class RequestBatcher:
         max_queue: int = 256,
         request_timeout_s: float = 90.0,
         drain_timeout_s: float = 10.0,
+        max_inflight: int = 2,
     ):
         self.matcher_fn = matcher_fn
         # probe knob support ONCE (a live-call TypeError fallback would
@@ -83,16 +94,40 @@ class RequestBatcher:
         self.queue: "asyncio.Queue[_Pending]" = asyncio.Queue(maxsize=max_queue)
         self._task: Optional[asyncio.Task] = None
         self._stopping = False
-        self._busy = False  # a batch is on the device right now
+        self._collecting = False  # a batch is being assembled right now
+        self._inflight: set = set()  # asyncio.Tasks processing batches
+        # pipeline depth: how many collected batches may be in flight at
+        # once (2 = extraction of batch n+1 overlaps batch n's device
+        # wait; 1 = strictly serial, the pre-pipelining behavior)
+        self.max_inflight = max(1, max_inflight)
         # dedicated single worker thread: serializes device work (jit-cache
         # friendly) and can be abandoned on shutdown without hanging the
         # event loop's default executor (a SIGTERM during an in-flight XLA
         # compile must not wedge process teardown)
         self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batcher")
+        # host-stage pipelining: available when the matcher is a bound
+        # method of an object exposing the three-stage split
+        obj = getattr(matcher_fn, "__self__", None)
+        if obj is not None and all(
+            hasattr(obj, s)
+            for s in ("extract_stage", "device_stage", "rescore_stage")
+        ):
+            self._pipeline_obj = obj
+            self._host_executor = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="batcher-host"
+            )
+        else:
+            self._pipeline_obj = None
+            self._host_executor = None
         self.batches_served = 0
         self.requests_served = 0
         self.requests_rejected = 0
         self.requests_timed_out = 0
+
+    @property
+    def _busy(self) -> bool:
+        """A batch is being collected or processed (drain gate)."""
+        return self._collecting or bool(self._inflight)
 
     def start(self) -> None:
         if self._task is None:
@@ -117,8 +152,14 @@ class RequestBatcher:
             except asyncio.CancelledError:
                 pass
             self._task = None
+        # cancel batch tasks that outlived the drain; their futures get
+        # the shutdown exception below / in _run_group's cancel handler
+        for t in list(self._inflight):
+            t.cancel()
         # don't wait for an in-flight device call; drop it
         self._executor.shutdown(wait=False, cancel_futures=True)
+        if self._host_executor is not None:
+            self._host_executor.shutdown(wait=False, cancel_futures=True)
         # fail whatever is still queued so callers aren't left hanging
         while not self.queue.empty():
             pending = self.queue.get_nowait()
@@ -162,11 +203,18 @@ class RequestBatcher:
 
     async def _worker(self) -> None:
         while True:
+            # free pipeline slot BEFORE dequeuing: total buffering stays
+            # bounded at max_queue + max_inflight*max_batch + max_batch
+            while len(self._inflight) >= self.max_inflight:
+                await asyncio.wait(
+                    set(self._inflight),
+                    return_when=asyncio.FIRST_COMPLETED,
+                )
             first = await self.queue.get()
-            # busy from the moment a request is dequeued: stop()'s drain
-            # must not cancel us while collected requests sit in the
+            # collecting from the moment a request is dequeued: stop()'s
+            # drain must not cancel us while collected requests sit in the
             # coalescing window (their futures would never resolve)
-            self._busy = True
+            self._collecting = True
             batch = [first]
             try:
                 deadline = asyncio.get_event_loop().time() + self.window_s
@@ -184,8 +232,17 @@ class RequestBatcher:
                 groups: Dict[Tuple, List[_Pending]] = {}
                 for p in batch:
                     groups.setdefault(p.key, []).append(p)
+                # bounded pipelining: launch processing as tasks and go
+                # back to collecting; the next batch's host extraction
+                # overlaps this batch's device wait
                 for (method, ef), group in groups.items():
-                    await self._run_group(group, method, ef)
+                    # multi-group batches may exceed the slot gate by the
+                    # extra knob groups — rare and still bounded
+                    task = asyncio.get_event_loop().create_task(
+                        self._run_group(group, method, ef)
+                    )
+                    self._inflight.add(task)
+                    task.add_done_callback(self._inflight.discard)
                 self.batches_served += len(groups)
                 self.requests_served += len(batch)
             except asyncio.CancelledError:
@@ -196,24 +253,44 @@ class RequestBatcher:
                         )
                 raise
             finally:
-                self._busy = False
+                self._collecting = False
 
     async def _run_group(self, group: List[_Pending], method, ef) -> None:
         # requests may ask different top_k: run at the max, slice later
         top_k = max(p.top_k for p in group)
         texts = [p.text for p in group]
-
-        def call():
-            if (method is None and ef is None) or not self._knob_aware:
-                return self.matcher_fn(texts, top_k)
-            return self.matcher_fn(
-                texts, top_k, search_method=method, ef_search=ef
-            )
+        loop = asyncio.get_event_loop()
 
         try:
-            results = await asyncio.get_event_loop().run_in_executor(
-                self._executor, call
-            )
+            if self._pipeline_obj is not None:
+                # three-stage pipeline: host stages on the 2-thread host
+                # pool, device stage strictly serialized on the single
+                # device thread
+                m = self._pipeline_obj
+                state = await loop.run_in_executor(
+                    self._host_executor, m.extract_stage, texts
+                )
+
+                def run_device():
+                    if (method is None and ef is None) or not self._knob_aware:
+                        return m.device_stage(state, top_k)
+                    return m.device_stage(
+                        state, top_k, search_method=method, ef_search=ef
+                    )
+
+                await loop.run_in_executor(self._executor, run_device)
+                results = await loop.run_in_executor(
+                    self._host_executor, m.rescore_stage, state, top_k
+                )
+            else:
+                def call():
+                    if (method is None and ef is None) or not self._knob_aware:
+                        return self.matcher_fn(texts, top_k)
+                    return self.matcher_fn(
+                        texts, top_k, search_method=method, ef_search=ef
+                    )
+
+                results = await loop.run_in_executor(self._executor, call)
             for pending, result in zip(group, results):
                 if pending.top_k < top_k:
                     for m in result.get("matches", []):
@@ -223,6 +300,13 @@ class RequestBatcher:
                     )
                 if not pending.future.done():
                     pending.future.set_result(result)
+        except asyncio.CancelledError:
+            for pending in group:
+                if not pending.future.done():
+                    pending.future.set_exception(
+                        BatcherTimeout("server shutting down")
+                    )
+            raise
         except Exception as e:
             for pending in group:
                 if not pending.future.done():
@@ -230,6 +314,8 @@ class RequestBatcher:
 
     def stats(self) -> Dict[str, Any]:
         return {
+            "pipelined": self._pipeline_obj is not None,
+            "inflight_batches": len(self._inflight),
             "batches_served": self.batches_served,
             "requests_served": self.requests_served,
             "requests_rejected": self.requests_rejected,

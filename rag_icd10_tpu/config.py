@@ -145,6 +145,15 @@ class StoreConfig:
     device_dtype: str = field(
         default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
     )
+    # int8 re-rank location: "device" (default) re-ranks the int8 scan's
+    # candidates ON DEVICE with the full-precision query against the
+    # dequantized rows — the int8 matrix is the only corpus-sized array
+    # anywhere in the search path (true 1/4-memory serving); "host"
+    # re-ranks against the host fp32 matrix for bit-exact parity with
+    # the fp32 path at the cost of a host gather + einsum per batch.
+    int8_rerank: str = field(
+        default_factory=lambda: _env("INT8_RERANK", "device")
+    )
     # corpus-dimension sharding over all visible devices (parallel/search.py):
     # "auto" = shard when >1 TPU device is attached; "on"/"off" force it.
     # Per-shard scan + one all_gather(k) merge — the 100M-row scaling path.
@@ -269,6 +278,14 @@ class PipelineConfig:
     max_top_k: int = 50
     # Static padding bucket for #diagnoses per request (XLA static shapes).
     max_diagnoses: int = 16
+    # Per-diagnosis rescoring thread pool: 0 = auto (cpu_count-1 capped at
+    # 8; sequential on single-core hosts), 1 = force sequential, N = N
+    # workers. The rescoring stack is embarrassingly parallel per
+    # diagnosis; on a multi-core serving host this removes the reference's
+    # sequential hot-loop bottleneck (multi_diagnosis_service.py:98-103).
+    rescore_workers: int = field(
+        default_factory=lambda: _env_int("RESCORE_WORKERS", 0)
+    )
 
 
 @dataclass(frozen=True)

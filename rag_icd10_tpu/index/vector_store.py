@@ -371,34 +371,56 @@ class VectorStore:
                 q_pad, k=k_pad, method="auto" if method == "exact" else method
             )
         elif self._dev is not None and "corpus_q" in self._dev:
-            # two-stage quantized scan: int8 MXU over-fetch (4k) on device,
-            # exact fp32 re-rank of the tiny candidate set against the
-            # HOST-resident matrix — device HBM stays 1/4 of fp32 while
-            # results match the exact path (int8-only recall@10 measured
-            # ~0.98 worst-case on rank-tight random data)
-            from ..ops.quantized import int8_search
+            # two-stage quantized scan: int8 MXU over-fetch (4k) on
+            # device, then a re-rank of the candidate set. Where the
+            # re-rank runs is INT8_RERANK (config.int8_rerank):
+            #   "device" (default) — full-precision query x dequantized
+            #     rows on device; the int8 matrix is the only
+            #     corpus-sized array in the search path (1/4-memory
+            #     serving; only the inherent row-quantization error
+            #     remains, recall@10 >= 0.99)
+            #   "host" — exact fp32 re-rank against the host-resident
+            #     matrix: bit-parity with the fp32 path at the cost of a
+            #     host gather + einsum per batch
+            if self.config.int8_rerank == "device":
+                from ..ops.quantized import int8_search_device_rerank
 
-            k_fetch = min(4 * k_pad, self.num_entities)
-            _, idx_q = int8_search(
-                q_pad,
-                self._dev["corpus_q"],
-                self._dev["scale"],
-                self._dev["weights"],
-                self._dev["mask"],
-                k=k_fetch,
-                method="approx" if method == "approx" else "exact",
-            )
-            idx_q = np.asarray(idx_q)[:b]
-            weights_h = self.corpus.level_weights(self.config.level_weights)
-            safe = np.clip(idx_q, 0, self.num_entities - 1)
-            cand = self._vectors[safe]  # (b, k_fetch, D) host gather
-            exact = np.einsum("bd,bkd->bk", q, cand) * weights_h[safe]
-            exact = np.where(idx_q >= 0, exact, -np.inf)
-            order = np.argsort(-exact, axis=1)[:, :k_eff]
-            vals = np.take_along_axis(exact, order, axis=1)
-            idx = np.take_along_axis(idx_q, order, axis=1)
-            self._searches += b
-            return self.build_hits(vals, idx)
+                vals, idx = int8_search_device_rerank(
+                    q_pad,
+                    self._dev["corpus_q"],
+                    self._dev["scale"],
+                    self._dev["weights"],
+                    self._dev["mask"],
+                    k=k_pad,
+                    method="approx" if method == "approx" else "exact",
+                )
+            else:
+                from ..ops.quantized import int8_search
+
+                k_fetch = min(4 * k_pad, self.num_entities)
+                _, idx_q = int8_search(
+                    q_pad,
+                    self._dev["corpus_q"],
+                    self._dev["scale"],
+                    self._dev["weights"],
+                    self._dev["mask"],
+                    k=k_fetch,
+                    method="approx" if method == "approx" else "exact",
+                )
+                q = np.asarray(q, dtype=np.float32)
+                idx_q = np.asarray(idx_q)[:b]
+                weights_h = self.corpus.level_weights(
+                    self.config.level_weights
+                )
+                safe = np.clip(idx_q, 0, self.num_entities - 1)
+                cand = self._vectors[safe]  # (b, k_fetch, D) host gather
+                exact = np.einsum("bd,bkd->bk", q, cand) * weights_h[safe]
+                exact = np.where(idx_q >= 0, exact, -np.inf)
+                order = np.argsort(-exact, axis=1)[:, :k_eff]
+                vals = np.take_along_axis(exact, order, axis=1)
+                idx = np.take_along_axis(idx_q, order, axis=1)
+                self._searches += b
+                return self.build_hits(vals, idx)
         elif (
             method in ("fast", "chunk")
             and self._dev is not None

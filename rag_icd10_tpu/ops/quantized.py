@@ -63,3 +63,46 @@ def int8_search(
     else:
         vals, idx = jax.lax.top_k(scores, k)
     return vals, idx.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("k", "m", "method"))
+def int8_search_device_rerank(
+    queries: jnp.ndarray,  # (B, D) fp32
+    corpus_q: jnp.ndarray,  # (N, D) int8
+    corpus_scale: jnp.ndarray,  # (N,) fp32
+    weights: jnp.ndarray,  # (N,) fp32
+    mask: jnp.ndarray,  # (N,) additive fp32
+    k: int,
+    m: int = 0,
+    method: str = "exact",
+):
+    """int8 scan + ON-DEVICE re-rank of the top-m candidates with the
+    FULL-PRECISION query against the dequantized rows.
+
+    The plain int8 scan quantizes BOTH operands; this removes the query's
+    quantization error entirely (only the per-row corpus rounding
+    remains, inherent to int8 residency) without any host fp32 matrix —
+    the whole search runs on device with the int8 corpus as the ONLY
+    corpus-sized array, which is the 1/4-memory serving story
+    (the reference can only estimate memory, milvus_service.py:497-522;
+    this path demonstrates it). Returns (values, indices (B, k))."""
+    b = queries.shape[0]
+    n = corpus_q.shape[0]
+    if m <= 0:
+        m = max(4 * k, k + 16)
+    m = min(m, n)
+    _, cand = int8_search(
+        queries, corpus_q, corpus_scale, weights, mask, k=m, method=method
+    )
+    safe = jnp.clip(cand, 0, n - 1)
+    rows = jnp.take(corpus_q, safe, axis=0).astype(jnp.float32)  # (B, m, D)
+    rows = rows * corpus_scale[safe][:, :, None]
+    exact_q = jnp.einsum(
+        "bd,bmd->bm",
+        queries.astype(jnp.float32),
+        rows,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * weights[safe] + mask[safe]
+    vals, sel = jax.lax.top_k(exact_q, k)
+    idx = jnp.take_along_axis(cand, sel, axis=1).astype(jnp.int32)
+    return vals, idx

@@ -148,6 +148,7 @@ class MultiDiagnosisService:
         )
         self.overfetch = overfetch
         self._fused = None
+        self._rescore_executor: Any = False  # False = not yet sized
 
     def _fused_engine(self):
         """Lazily build the fused encode+search engine when supported.
@@ -218,7 +219,22 @@ class MultiDiagnosisService:
         fused search scan (a capability the reference does not have — it
         processes requests and sub-diagnoses strictly sequentially,
         multi_diagnosis_service.py:98-103).
+
+        Internally composed of three stages — extract (host), device
+        (encode+search), rescore (host) — exposed individually so the
+        batching layer can PIPELINE them: batch n+1's extraction overlaps
+        batch n's device wait, and per-diagnosis rescoring fans out over
+        a thread pool on multi-core hosts (RESCORE_WORKERS).
         """
+        state = self.extract_stage(texts)
+        self.device_stage(
+            state, top_k, search_method=search_method, ef_search=ef_search
+        )
+        return self.rescore_stage(state, top_k)
+
+    def extract_stage(self, texts: List[str]) -> Dict[str, Any]:
+        """Stage 1 (host, CPU-bound): extraction + uncertainty-cleaned
+        encode texts. No device work."""
         from ..utils.metrics import metrics
 
         per_text: List[Dict[str, Any]] = []
@@ -248,6 +264,21 @@ class MultiDiagnosisService:
                 }
             )
             flat_diagnoses.extend(diagnoses)
+        return {"per_text": per_text, "flat_diagnoses": flat_diagnoses}
+
+    def device_stage(
+        self,
+        state: Dict[str, Any],
+        top_k: int,
+        search_method: Optional[str] = None,
+        ef_search: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """Stage 2 (device): ONE encoder forward + ONE fused search for
+        every sub-diagnosis of every text. Mutates ``state`` in place
+        (adds query_vecs, all_hits) and returns it."""
+        from ..utils.metrics import metrics
+
+        flat_diagnoses = state["flat_diagnoses"]
 
         # === the batched hot path ===
         # Preferred: ONE fused jitted program (tokens -> embeddings ->
@@ -326,8 +357,54 @@ class MultiDiagnosisService:
                         query_vecs = np.asarray(query_dev)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
+        state["query_vecs"] = query_vecs
+        state["all_hits"] = all_hits
+        return state
+
+    def rescore_stage(
+        self, state: Dict[str, Any], top_k: int
+    ) -> List[Dict[str, Any]]:
+        """Stage 3 (host): per-diagnosis enhanced rescoring + response
+        assembly. Embarrassingly parallel per diagnosis — fans out over
+        the RESCORE_WORKERS thread pool when the host has cores for it."""
+        from ..utils.metrics import metrics
+
+        per_text = state["per_text"]
+        query_vecs = state["query_vecs"]
+        all_hits = state["all_hits"]
+
+        flat: List[tuple] = []  # (diagnosis, flat index)
+        for info in per_text:
+            for j, diagnosis in enumerate(info["diagnoses"]):
+                flat.append((diagnosis, info["offset"] + j))
+        with metrics.timer("rescore"):
+            pool = self._rescore_pool() if len(flat) > 1 else None
+            if pool is not None:
+                # lazy caches build once up front instead of racing in
+                # the pool (idempotent either way; this avoids N builds)
+                build = getattr(
+                    self.confidence_service, "_terminology_cache_build", None
+                )
+                if build is not None:
+                    build()
+                matches_flat = list(
+                    pool.map(
+                        lambda t: self._rescore_single(
+                            t[0], query_vecs[t[1]], all_hits[t[1]], top_k
+                        ),
+                        flat,
+                    )
+                )
+            else:
+                matches_flat = [
+                    self._rescore_single(
+                        d, query_vecs[i], all_hits[i], top_k
+                    )
+                    for d, i in flat
+                ]
 
         results: List[Dict[str, Any]] = []
+        pos = 0
         for info in per_text:
             diagnoses = info["diagnoses"]
             if not diagnoses:
@@ -345,22 +422,14 @@ class MultiDiagnosisService:
                     }
                 )
                 continue
-            matches: List[DiagnosisMatch] = []
-            total_candidates = 0
-            with metrics.timer("rescore"):
-                for j, diagnosis in enumerate(diagnoses):
-                    idx = info["offset"] + j
-                    match = self._rescore_single(
-                        diagnosis, query_vecs[idx], all_hits[idx], top_k
-                    )
-                    matches.append(match)
-                    total_candidates += len(match.candidates)
+            matches = matches_flat[pos : pos + len(diagnoses)]
+            pos += len(diagnoses)
             results.append(
                 {
                     "original_text": info["text"],
                     "extracted_diagnoses": diagnoses,
                     "matches": matches,
-                    "total_matches": total_candidates,
+                    "total_matches": sum(len(m.candidates) for m in matches),
                     "processing_mode": self.text_processor.get_processing_mode(),
                     "extraction_metadata": {
                         "enhanced_results_count": info["enhanced_count"],
@@ -371,6 +440,31 @@ class MultiDiagnosisService:
                 }
             )
         return results
+
+    def _rescore_pool(self):
+        """Shared rescoring ThreadPoolExecutor, or None for sequential.
+
+        RESCORE_WORKERS=0 (default) auto-sizes: cpu_count-1 capped at 8;
+        a single-core host (this dev rig) stays sequential — threads buy
+        nothing under one core and cost switching overhead."""
+        if self._rescore_executor is not False:
+            return self._rescore_executor
+        import os
+
+        from ..config import get_config
+
+        workers = get_config().pipeline.rescore_workers
+        if workers == 0:
+            workers = min(8, max((os.cpu_count() or 1) - 1, 0))
+        if workers <= 1:
+            self._rescore_executor = None
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._rescore_executor = ThreadPoolExecutor(
+                max_workers=workers, thread_name_prefix="rescore"
+            )
+        return self._rescore_executor
 
     # --------------------------------------------------------- single path
 

@@ -92,6 +92,98 @@ class TestBatching:
         assert run(go())["extracted_diagnoses"] == ["x"]
 
 
+class StageMatcher:
+    """Three-stage matcher recording a timeline, for pipelining tests."""
+
+    def __init__(self, device_s=0.15, host_s=0.05):
+        self.device_s = device_s
+        self.host_s = host_s
+        self.events = []  # (stage, phase, texts, t)
+        self.t0 = time.monotonic()
+
+    def _mark(self, stage, phase, texts):
+        self.events.append((stage, phase, tuple(texts), time.monotonic() - self.t0))
+
+    def extract_stage(self, texts):
+        self._mark("extract", "start", texts)
+        time.sleep(self.host_s)
+        self._mark("extract", "end", texts)
+        return {"texts": list(texts)}
+
+    def device_stage(self, state, top_k, search_method=None, ef_search=None):
+        self._mark("device", "start", state["texts"])
+        time.sleep(self.device_s)  # simulated device wait (releases GIL)
+        self._mark("device", "end", state["texts"])
+        return state
+
+    def rescore_stage(self, state, top_k):
+        self._mark("rescore", "start", state["texts"])
+        time.sleep(self.host_s)
+        self._mark("rescore", "end", state["texts"])
+        return echo_matcher(state["texts"], top_k)
+
+    def match_many_texts(self, texts, top_k, search_method=None, ef_search=None):
+        state = self.extract_stage(texts)
+        self.device_stage(state, top_k, search_method, ef_search)
+        return self.rescore_stage(state, top_k)
+
+
+class TestPipelining:
+    def test_stage_pipeline_results_correct(self):
+        m = StageMatcher(device_s=0.02, host_s=0.005)
+
+        async def go():
+            b = RequestBatcher(m.match_many_texts, window_ms=5.0, max_batch=4)
+            assert b.stats()["pipelined"] is True
+            b.start()
+            results = await asyncio.gather(
+                *(b.submit(f"t{i}", 5) for i in range(12))
+            )
+            await b.stop()
+            return results
+
+        results = run(go())
+        assert [r["extracted_diagnoses"] for r in results] == [
+            [f"t{i}"] for i in range(12)
+        ]
+
+    def test_next_batch_extraction_overlaps_device_wait(self):
+        """With two batches submitted back-to-back, batch 2's extraction
+        must START before batch 1's device stage ENDS — the overlap that
+        makes steady-state throughput max(device, host) not their sum."""
+        m = StageMatcher(device_s=0.2, host_s=0.02)
+
+        async def go():
+            b = RequestBatcher(m.match_many_texts, window_ms=1.0, max_batch=1)
+            b.start()
+            t1 = asyncio.create_task(b.submit("a", 5))
+            await asyncio.sleep(0.05)  # batch 1 reaches its device stage
+            t2 = asyncio.create_task(b.submit("b", 5))
+            await asyncio.gather(t1, t2)
+            await b.stop()
+
+        run(go())
+        times = {
+            (ev[0], ev[1], ev[2]): ev[3] for ev in m.events
+        }
+        dev1_end = times[("device", "end", ("a",))]
+        ext2_start = times[("extract", "start", ("b",))]
+        assert ext2_start < dev1_end, m.events
+
+    def test_plain_function_matcher_not_pipelined(self):
+        async def go():
+            b = RequestBatcher(echo_matcher, window_ms=5.0, max_batch=4)
+            piped = b.stats()["pipelined"]
+            b.start()
+            out = await b.submit("x", 5)
+            await b.stop()
+            return piped, out
+
+        piped, out = run(go())
+        assert piped is False
+        assert out["extracted_diagnoses"] == ["x"]
+
+
 class TestOverload:
     def test_queue_full_rejects(self):
         def slow(texts, top_k, **kw):
@@ -99,7 +191,11 @@ class TestOverload:
             return echo_matcher(texts, top_k)
 
         async def go():
-            b = RequestBatcher(slow, window_ms=1.0, max_batch=1, max_queue=2)
+            # max_inflight=1: the strict pre-pipelining overload contract
+            # (one batch on the device, max_queue waiting, next rejects)
+            b = RequestBatcher(
+                slow, window_ms=1.0, max_batch=1, max_queue=2, max_inflight=1
+            )
             b.start()
             t1 = asyncio.create_task(b.submit("a", 5))
             await asyncio.sleep(0.05)  # worker picks up "a", device busy

@@ -78,6 +78,49 @@ def service():
 
 
 class TestMatchMultiple:
+    def test_pooled_rescore_matches_sequential(self, service):
+        """RESCORE_WORKERS>1 fans per-diagnosis rescoring over a thread
+        pool (the multi-core serving host path); results must equal the
+        sequential path byte-for-byte."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        texts = ["急性胃肠炎，高血压病3级", "2型糖尿病", "肺炎；支气管炎"]
+        service._rescore_executor = None  # force sequential
+        seq = service.match_many_texts(texts, top_k=3)
+        pool = ThreadPoolExecutor(max_workers=4)
+        try:
+            service._rescore_executor = pool
+            par = service.match_many_texts(texts, top_k=3)
+        finally:
+            service._rescore_executor = False  # back to auto
+            pool.shutdown()
+        for a, b in zip(seq, par):
+            assert a["extracted_diagnoses"] == b["extracted_diagnoses"]
+            assert a["total_matches"] == b["total_matches"]
+            for ma, mb in zip(a["matches"], b["matches"]):
+                assert ma.diagnosis_text == mb.diagnosis_text
+                assert ma.match_confidence == mb.match_confidence
+                assert [c.code for c in ma.candidates] == [
+                    c.code for c in mb.candidates
+                ]
+                assert [c.score for c in ma.candidates] == [
+                    c.score for c in mb.candidates
+                ]
+
+    def test_stage_split_equals_monolithic(self, service):
+        """extract/device/rescore stages composed manually must equal
+        match_many_texts (the batcher pipelines over these stages)."""
+        texts = ["急性胃肠炎，高血压病3级", "肺炎"]
+        mono = service.match_many_texts(texts, top_k=3)
+        state = service.extract_stage(texts)
+        service.device_stage(state, top_k=3)
+        staged = service.rescore_stage(state, top_k=3)
+        for a, b in zip(mono, staged):
+            assert a["extracted_diagnoses"] == b["extracted_diagnoses"]
+            assert [
+                [c.code for c in m.candidates] for m in a["matches"]
+            ] == [[c.code for c in m.candidates] for m in b["matches"]]
+
     def test_result_contract(self, service):
         result = service.match_multiple_diagnoses("急性胃肠炎，高血压病3级", top_k=3)
         assert set(result) == {

@@ -37,7 +37,7 @@ def test_bf16_residency_matches_fp32_ranking():
 class TestInt8Residency:
     """int8 quantized residency: 4x less corpus HBM at recall@10>=0.99."""
 
-    def _pair(self, n=2048, d=64):
+    def _pair(self, n=2048, d=64, int8_rerank="device"):
         corpus = synthetic_corpus(n, seed=12)
         rng = np.random.default_rng(12)
         vecs = rng.standard_normal((n, d)).astype(np.float32)
@@ -45,10 +45,44 @@ class TestInt8Residency:
         s32 = VectorStore(dim=d, config=StoreConfig(pad_multiple=128))
         s32.insert_records(list(corpus.records()), vecs)
         s8 = VectorStore(
-            dim=d, config=StoreConfig(pad_multiple=128, device_dtype="int8")
+            dim=d,
+            config=StoreConfig(
+                pad_multiple=128, device_dtype="int8",
+                int8_rerank=int8_rerank,
+            ),
         )
         s8.insert_records(list(corpus.records()), vecs)
         return s32, s8, vecs
+
+    def test_host_rerank_mode_is_exact(self):
+        """INT8_RERANK=host re-ranks against the host fp32 matrix —
+        bit-parity with the fp32 path."""
+        s32, s8, vecs = self._pair(int8_rerank="host")
+        rng = np.random.default_rng(14)
+        q = vecs[rng.integers(0, len(vecs), 16)]
+        for a, b in zip(s32.search(q, top_k=10), s8.search(q, top_k=10)):
+            assert [h.id for h in a] == [h.id for h in b]
+
+    def test_device_rerank_needs_no_host_matrix(self):
+        """INT8_RERANK=device (default): the search path never touches
+        the host fp32 matrix — the int8 matrix is the only corpus-sized
+        array involved (the 1/4-memory serving story)."""
+        s32, s8, vecs = self._pair()
+        s8.load_collection()
+        hidden = s8._vectors
+        s8._vectors = None  # search must not need it
+        try:
+            q = vecs[:8]
+            rows = s8.search(q, top_k=10)
+            assert all(len(r) == 10 for r in rows)
+            recalls = []
+            for a, b in zip(s32.search(q, top_k=10), rows):
+                recalls.append(
+                    len({h.id for h in a} & {h.id for h in b}) / 10
+                )
+            assert np.mean(recalls) >= 0.99
+        finally:
+            s8._vectors = hidden
 
     def test_recall_vs_fp32(self):
         s32, s8, vecs = self._pair()
