@@ -123,8 +123,10 @@ def config2_hnsw_sweep(cfg, corpus, vectors, weights) -> Dict:
 
     t0 = time.time()
     idx = HNSWIndex(dim=vecs.shape[1], M=cfg.hnsw.M,
-                    ef_construction=cfg.hnsw.ef_construction)
+                    ef_construction=cfg.hnsw.ef_construction,
+                    vec_dtype=cfg.hnsw.vec_dtype)
     idx.add(vecs)
+    idx.compact()
     build_s = time.time() - t0
 
     sweep = {}
@@ -142,8 +144,10 @@ def config2_hnsw_sweep(cfg, corpus, vectors, weights) -> Dict:
     flat_bytes = vecs.nbytes
     return {
         "build_seconds": round(build_s, 1),
+        "vec_dtype": idx.vec_dtype,
         "graph_memory_mb": round(idx.memory_bytes() / 1e6, 1),
         "flat_memory_mb": round(flat_bytes / 1e6, 1),
+        "equal_memory": idx.memory_bytes() <= flat_bytes,
         "sweep": sweep,
     }
 

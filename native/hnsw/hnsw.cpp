@@ -75,6 +75,26 @@ class VisitedPool {
     std::vector<std::unique_ptr<Table>> free_;
 };
 
+// bf16 vector storage (optional): rounds each stored vector to bfloat16
+// (round-to-nearest-even), halving graph memory. The distance loop
+// decodes on the fly (shift into the fp32 high bits — auto-vectorizes);
+// queries stay fp32. Quantization error ~2^-8 per element barely moves
+// neighbor selection (recall impact unmeasurable at M>=8); callers that
+// need exact scores re-rank the returned candidates against their fp32
+// matrix (index/vector_store._search_hnsw does).
+static inline float bf16_to_f(uint16_t u) {
+    uint32_t x = uint32_t(u) << 16;
+    float f;
+    std::memcpy(&f, &x, 4);
+    return f;
+}
+static inline uint16_t f_to_bf16(float f) {
+    uint32_t x;
+    std::memcpy(&x, &f, 4);
+    x += 0x7FFFu + ((x >> 16) & 1u);  // round to nearest even
+    return uint16_t(x >> 16);
+}
+
 struct Candidate {
     float dist;
     int32_t id;
@@ -92,11 +112,12 @@ struct FartherFirst {
 
 class HNSW {
   public:
-    HNSW(int dim, int M, int ef_construction, uint64_t seed)
+    HNSW(int dim, int M, int ef_construction, uint64_t seed, bool bf16 = false)
         : dim_(dim),
           M_(M),
           M0_(2 * M),
           efc_(ef_construction),
+          bf16_(bf16),
           mult_(1.0 / std::log(double(M))),
           rng_(seed),
           entry_(-1),
@@ -104,6 +125,7 @@ class HNSW {
 
     int dim() const { return dim_; }
     int size() const { return int(levels_.size()); }
+    bool bf16() const { return bf16_; }
 
     // negative inner product as distance (IP metric: higher ip = closer)
     float dist(const float* a, const float* b) const {
@@ -112,13 +134,48 @@ class HNSW {
         return -s;
     }
     const float* vec(int32_t id) const { return vectors_.data() + size_t(id) * dim_; }
+    const uint16_t* vec16(int32_t id) const {
+        return vectors16_.data() + size_t(id) * dim_;
+    }
+
+    // fp32 query (or decoded node) against a stored node
+    float dist_id(const float* q, int32_t id) const {
+        if (!bf16_) return dist(q, vec(id));
+        const uint16_t* b = vec16(id);
+        float s = 0.f;
+        for (int i = 0; i < dim_; ++i) s += q[i] * bf16_to_f(b[i]);
+        return -s;
+    }
+
+    float dist_nodes(int32_t a, int32_t b) const {
+        if (!bf16_) return dist(vec(a), vec(b));
+        const uint16_t* x = vec16(a);
+        const uint16_t* y = vec16(b);
+        float s = 0.f;
+        for (int i = 0; i < dim_; ++i) s += bf16_to_f(x[i]) * bf16_to_f(y[i]);
+        return -s;
+    }
+
+    void decode_node(int32_t id, float* out) const {
+        if (!bf16_) {
+            std::memcpy(out, vec(id), sizeof(float) * dim_);
+            return;
+        }
+        const uint16_t* b = vec16(id);
+        for (int i = 0; i < dim_; ++i) out[i] = bf16_to_f(b[i]);
+    }
 
     // Serial-only: append node storage (vector, level, neighbor slots).
     // Inner lists reserve their degree caps so parallel linking never
     // reallocates a list a concurrent (locked) reader copies from.
     int32_t reserve_node(const float* v) {
         int32_t id = size();
-        vectors_.insert(vectors_.end(), v, v + dim_);
+        if (bf16_) {
+            for (int i = 0; i < dim_; ++i)
+                vectors16_.push_back(f_to_bf16(v[i]));
+        } else {
+            vectors_.insert(vectors_.end(), v, v + dim_);
+        }
         int level = int(-std::log(uniform_(rng_)) * mult_);
         levels_.push_back(level);
         neighbors_.emplace_back();
@@ -137,7 +194,16 @@ class HNSW {
     // thread-safe path used by parallel batch builds.
     template <bool LOCKED>
     void link_node(int32_t id) {
-        const float* v = vec(id);
+        // in bf16 mode the insertion query is the node decoded to fp32
+        std::vector<float> vbuf;
+        const float* v;
+        if (bf16_) {
+            vbuf.resize(dim_);
+            decode_node(id, vbuf.data());
+            v = vbuf.data();
+        } else {
+            v = vec(id);
+        }
         int level = levels_[id];
 
         int32_t snap_entry;
@@ -156,7 +222,7 @@ class HNSW {
         }
 
         int32_t cur = snap_entry;
-        float cur_d = dist(v, vec(cur));
+        float cur_d = dist_id(v, cur);
         std::vector<int32_t> nbr_copy;
         // greedy descend through layers above `level`
         for (int l = snap_max; l > level; --l) {
@@ -172,7 +238,7 @@ class HNSW {
                     nbrs = &neighbors_[cur][l];
                 }
                 for (int32_t nb : *nbrs) {
-                    float d = dist(v, vec(nb));
+                    float d = dist_id(v, nb);
                     if (d < cur_d) {
                         cur_d = d;
                         cur = nb;
@@ -231,6 +297,14 @@ class HNSW {
         if (!locks_) locks_.reset(new std::mutex[kLockBuckets]);
         bool fresh = entry_ < 0;
         int32_t first = size();
+        // exact-size reservation: growth-doubling slack on the vector
+        // array would otherwise hold up to 2x the live bytes
+        if (bf16_)
+            vectors16_.reserve(vectors16_.size() + size_t(n) * dim_);
+        else
+            vectors_.reserve(vectors_.size() + size_t(n) * dim_);
+        levels_.reserve(levels_.size() + n);
+        neighbors_.reserve(neighbors_.size() + n);
         for (int i = 0; i < n; ++i) reserve_node(vecs + size_t(i) * dim_);
         int seed = std::min(n, fresh ? 1000 : 64);
         for (int i = 0; i < seed; ++i) link_node<false>(first + i);
@@ -268,7 +342,7 @@ class HNSW {
         uint32_t* st = table->stamps.data();
         std::priority_queue<Candidate, std::vector<Candidate>, CloserFirst> to_visit;
         std::priority_queue<Candidate, std::vector<Candidate>, FartherFirst> best;
-        float d0 = dist(q, vec(start));
+        float d0 = dist_id(q, start);
         to_visit.push({d0, start});
         best.push({d0, start});
         st[start] = ep;
@@ -290,7 +364,7 @@ class HNSW {
             for (int32_t nb : *nbrs) {
                 if (st[nb] == ep) continue;
                 st[nb] = ep;
-                float d = dist(q, vec(nb));
+                float d = dist_id(q, nb);
                 if (int(best.size()) < ef || d < best.top().dist) {
                     to_visit.push({d, nb});
                     best.push({d, nb});
@@ -323,13 +397,13 @@ class HNSW {
             return;
         }
         int32_t cur = entry_;
-        float cur_d = dist(q, vec(cur));
+        float cur_d = dist_id(q, cur);
         for (int l = max_level_; l > 0; --l) {
             bool changed = true;
             while (changed) {
                 changed = false;
                 for (int32_t nb : neighbors_[cur][l]) {
-                    float d = dist(q, vec(nb));
+                    float d = dist_id(q, nb);
                     if (d < cur_d) {
                         cur_d = d;
                         cur = nb;
@@ -354,11 +428,27 @@ class HNSW {
         }
     }
 
+    // Release build-time allocation slack: vector growth doubles, and
+    // per-layer neighbor lists reserve their degree caps — on a finished
+    // graph both can hold ~1.5-2x the live bytes. Serial-only (call
+    // after construction; appends after compaction just re-reserve).
+    void compact() {
+        vectors_.shrink_to_fit();
+        vectors16_.shrink_to_fit();
+        levels_.shrink_to_fit();
+        neighbors_.shrink_to_fit();
+        for (auto& per_node : neighbors_) {
+            per_node.shrink_to_fit();
+            for (auto& layer : per_node) layer.shrink_to_fit();
+        }
+    }
+
     size_t memory_bytes() const {
         // honest heap accounting: allocated capacities + per-vector
         // bookkeeping structs (not sizeof(vector) of the elements, which
         // only measured the header)
         size_t b = vectors_.capacity() * sizeof(float);
+        b += vectors16_.capacity() * sizeof(uint16_t);
         b += levels_.capacity() * sizeof(int);
         b += neighbors_.capacity() * sizeof(neighbors_[0]);
         for (const auto& per_node : neighbors_) {
@@ -373,11 +463,16 @@ class HNSW {
     bool save(const char* path) const {
         FILE* f = std::fopen(path, "wb");
         if (!f) return false;
-        int32_t header[5] = {int32_t(0x484E5357), dim_, M_, efc_, size()};
+        // v2 magic carries a dtype flag; load() still reads v1 (fp32)
+        int32_t header[5] = {int32_t(0x484E5358), dim_, M_, efc_, size()};
         std::fwrite(header, sizeof(header), 1, f);
-        int32_t meta[2] = {entry_, max_level_};
+        int32_t meta[3] = {entry_, max_level_, bf16_ ? 1 : 0};
         std::fwrite(meta, sizeof(meta), 1, f);
-        std::fwrite(vectors_.data(), sizeof(float), vectors_.size(), f);
+        if (bf16_)
+            std::fwrite(vectors16_.data(), sizeof(uint16_t),
+                        vectors16_.size(), f);
+        else
+            std::fwrite(vectors_.data(), sizeof(float), vectors_.size(), f);
         std::fwrite(levels_.data(), sizeof(int), levels_.size(), f);
         for (const auto& per_node : neighbors_) {
             int32_t nl = int32_t(per_node.size());
@@ -397,20 +492,34 @@ class HNSW {
         if (!f) return nullptr;
         int32_t header[5];
         if (std::fread(header, sizeof(header), 1, f) != 1 ||
-            header[0] != int32_t(0x484E5357)) {
+            (header[0] != int32_t(0x484E5357) &&
+             header[0] != int32_t(0x484E5358))) {
             std::fclose(f);
             return nullptr;
         }
-        HNSW* h = new HNSW(header[1], header[2], header[3], 0);
+        bool v2 = header[0] == int32_t(0x484E5358);
         int n = header[4];
-        int32_t meta[2];
-        if (std::fread(meta, sizeof(meta), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+        int32_t meta[3] = {0, 0, 0};
+        size_t meta_n = v2 ? 3 : 2;
+        if (std::fread(meta, sizeof(int32_t), meta_n, f) != meta_n) {
+            std::fclose(f);
+            return nullptr;
+        }
+        bool bf16 = v2 && meta[2] != 0;
+        HNSW* h = new HNSW(header[1], header[2], header[3], 0, bf16);
         h->entry_ = meta[0];
         h->max_level_ = meta[1];
-        h->vectors_.resize(size_t(n) * h->dim_);
         h->levels_.resize(n);
+        if (bf16)
+            h->vectors16_.resize(size_t(n) * h->dim_);
+        else
+            h->vectors_.resize(size_t(n) * h->dim_);
         if (n) {
-            if (std::fread(h->vectors_.data(), sizeof(float), h->vectors_.size(), f) != h->vectors_.size() ||
+            size_t want = size_t(n) * h->dim_;
+            size_t got = bf16
+                ? std::fread(h->vectors16_.data(), sizeof(uint16_t), want, f)
+                : std::fread(h->vectors_.data(), sizeof(float), want, f);
+            if (got != want ||
                 std::fread(h->levels_.data(), sizeof(int), n, f) != size_t(n)) {
                 std::fclose(f); delete h; return nullptr;
             }
@@ -443,7 +552,7 @@ class HNSW {
             if (int(out.size()) >= m) break;
             bool good = true;
             for (const Candidate& s : out) {
-                if (dist(vec(c.id), vec(s.id)) < c.dist) {
+                if (dist_nodes(c.id, s.id) < c.dist) {
                     good = false;
                     break;
                 }
@@ -468,7 +577,7 @@ class HNSW {
         auto& nbrs = neighbors_[id][layer];
         std::vector<Candidate> cands;
         cands.reserve(nbrs.size());
-        for (int32_t nb : nbrs) cands.push_back({dist(vec(id), vec(nb)), nb});
+        for (int32_t nb : nbrs) cands.push_back({dist_nodes(id, nb), nb});
         std::sort(cands.begin(), cands.end(),
                   [](const Candidate& a, const Candidate& b) {
                       return a.dist < b.dist;
@@ -479,6 +588,7 @@ class HNSW {
     }
 
     int dim_, M_, M0_, efc_;
+    bool bf16_;
     double mult_;
     std::mt19937_64 rng_;
     std::uniform_real_distribution<double> uniform_{
@@ -486,6 +596,7 @@ class HNSW {
     int32_t entry_;
     int max_level_;
     std::vector<float> vectors_;
+    std::vector<uint16_t> vectors16_;
     std::vector<int> levels_;
     std::vector<std::vector<std::vector<int32_t>>> neighbors_;
     mutable VisitedPool visited_pool_;
@@ -504,6 +615,18 @@ extern "C" {
 void* hnsw_create(int dim, int M, int ef_construction, uint64_t seed) {
     return new HNSW(dim, M, ef_construction, seed);
 }
+
+// bf16=1 stores vectors as bfloat16 (half the graph memory; queries stay
+// fp32, distances decode on the fly)
+void* hnsw_create2(int dim, int M, int ef_construction, uint64_t seed,
+                   int bf16) {
+    return new HNSW(dim, M, ef_construction, seed, bf16 != 0);
+}
+
+int hnsw_is_bf16(void* h) { return static_cast<HNSW*>(h)->bf16() ? 1 : 0; }
+
+// release build-time allocation slack (serial only)
+void hnsw_compact(void* h) { static_cast<HNSW*>(h)->compact(); }
 
 void hnsw_free(void* h) { delete static_cast<HNSW*>(h); }
 

@@ -177,6 +177,13 @@ class HNSWConfig:
         default_factory=lambda: _env_int("HNSW_EF_CONSTRUCTION", 200)
     )
     ef_search: int = field(default_factory=lambda: _env_int("HNSW_EF_SEARCH", 64))
+    # in-graph vector storage: "bfloat16" (default) halves graph memory —
+    # graph ≤ flat fp32 at the same corpus — and the store's hnsw path
+    # re-ranks candidates against its fp32 matrix so returned scores stay
+    # exact; "float32" keeps raw graph IPs exact in-graph.
+    vec_dtype: str = field(
+        default_factory=lambda: _env("HNSW_VEC_DTYPE", "bfloat16")
+    )
 
 
 @dataclass(frozen=True)

@@ -51,6 +51,14 @@ def load_library() -> ctypes.CDLL:
         lib.hnsw_create.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
         ]
+        lib.hnsw_create2.restype = ctypes.c_void_p
+        lib.hnsw_create2.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int,
+        ]
+        lib.hnsw_is_bf16.restype = ctypes.c_int
+        lib.hnsw_is_bf16.argtypes = [ctypes.c_void_p]
+        lib.hnsw_compact.argtypes = [ctypes.c_void_p]
         lib.hnsw_free.argtypes = [ctypes.c_void_p]
         lib.hnsw_add_batch.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.POINTER(ctypes.c_float),
@@ -87,7 +95,11 @@ def _iptr(arr: np.ndarray):
 
 
 class HNSWIndex:
-    """Inner-product HNSW over fp32 vectors."""
+    """Inner-product HNSW; vectors stored fp32 or bf16 in-graph.
+
+    vec_dtype="bfloat16" halves graph memory (the equal-memory claim of
+    BASELINE config #2); returned IPs then carry bf16 rounding — the
+    store's hnsw path re-ranks candidates against its fp32 matrix."""
 
     def __init__(
         self,
@@ -95,6 +107,7 @@ class HNSWIndex:
         M: int = 16,
         ef_construction: int = 200,
         seed: int = 42,
+        vec_dtype: str = "float32",
         _handle=None,
     ):
         self.lib = load_library()
@@ -104,9 +117,15 @@ class HNSWIndex:
         if _handle is not None:
             self._h = _handle
         else:
-            self._h = self.lib.hnsw_create(dim, M, ef_construction, seed)
+            self._h = self.lib.hnsw_create2(
+                dim, M, ef_construction, seed,
+                1 if vec_dtype == "bfloat16" else 0,
+            )
         if not self._h:
             raise RuntimeError("hnsw_create failed")
+        self.vec_dtype = (
+            "bfloat16" if self.lib.hnsw_is_bf16(self._h) else "float32"
+        )
 
     def __del__(self):
         try:
@@ -144,6 +163,11 @@ class HNSWIndex:
 
     def __len__(self) -> int:
         return self.lib.hnsw_size(self._h)
+
+    def compact(self) -> None:
+        """Release build-time allocation slack (growth-doubling + degree
+        reserves hold up to ~2x the live bytes). Serial only."""
+        self.lib.hnsw_compact(self._h)
 
     def memory_bytes(self) -> int:
         return int(self.lib.hnsw_memory_bytes(self._h))

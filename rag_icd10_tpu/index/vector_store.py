@@ -528,8 +528,10 @@ class VectorStore:
             dim=self.dim,
             M=M or self.hnsw_config.M,
             ef_construction=ef_construction or self.hnsw_config.ef_construction,
+            vec_dtype=getattr(self.hnsw_config, "vec_dtype", "float32"),
         )
         idx.add(self._vectors)
+        idx.compact()  # drop build-time allocation slack
         self._hnsw = idx
         return idx
 
@@ -546,23 +548,52 @@ class VectorStore:
         raw IP, hence weighted score ≤ last_raw × max_weight; if the k-th
         weighted score already beats that bound, the weighted top-k is
         provably complete relative to the graph's raw ordering. Queries
-        failing the bound refetch with doubled k."""
+        failing the bound refetch with doubled k.
+
+        bf16 graphs (HNSW_VEC_DTYPE=bfloat16 — half the graph memory, ≤
+        the flat fp32 footprint) return bf16-rounded IPs: the fetched
+        candidates re-rank EXACTLY against the host fp32 matrix, and the
+        completeness bound widens by the bf16 dot error so rounding can
+        never hide an unfetched winner."""
         idx = self.build_hnsw()
         weights = self.corpus.level_weights(self.config.level_weights)
         max_w = float(np.max(self.config.level_weights))
         min_w = float(np.min(self.config.level_weights))
         n = self.num_entities
+        is_bf16 = getattr(idx, "vec_dtype", "float32") == "bfloat16"
+        if is_bf16:
+            from ..ops.rerank import EPS_BF16_DOT
+
+            q_norms = np.linalg.norm(q, axis=1)
+            c_norm_max = (
+                float(self._bound_scale / max_w)
+                if self._bound_scale
+                else float(np.linalg.norm(self._vectors, axis=1).max())
+            )
+            eps_rows = (EPS_BF16_DOT * c_norm_max) * q_norms  # (B,)
         k_fetch = min(2 * k_eff, n)
         while True:
             ef = max(ef_search or self.hnsw_config.ef_search, k_fetch)
             ips, ids = idx.search(q, k_fetch, ef)
+            valid = ids >= 0
+            if is_bf16:
+                # exact fp32 re-rank of the fetched candidate rows (the
+                # candidate set stays tiny; the graph only chose it)
+                safe = np.clip(ids, 0, n - 1)
+                cand = self._vectors[safe]  # (B, k_fetch, D)
+                ips = np.where(
+                    valid, np.einsum("bd,bkd->bk", q, cand), ips
+                ).astype(np.float32)
             if k_fetch >= n:
                 break
-            valid = ids >= 0
             w_rows = np.where(valid, weights[np.clip(ids, 0, n - 1)], 0.0)
             weighted = np.where(valid, ips * w_rows, -np.inf)
             kth_weighted = -np.sort(-weighted, axis=1)[:, k_eff - 1]
             last_raw = np.where(valid, ips, np.inf).min(axis=1)
+            if is_bf16:
+                # unfetched rows are ordered by bf16 IP; their TRUE IP can
+                # exceed the last fetched TRUE IP by 2x the bf16 dot error
+                last_raw = last_raw + 2.0 * eps_rows
             # any unfetched row has raw IP <= last_raw; its weighted score
             # is bounded by last_raw*max_w when last_raw >= 0 but by
             # last_raw*MIN_w when negative (a negative score shrinks

@@ -83,6 +83,93 @@ class TestHNSW:
         assert (ids == -1).all()
 
 
+class TestBf16Graph:
+    """bf16 in-graph vectors: half the memory, recall parity, exact
+    re-ranked scores through the store path (BASELINE config #2's
+    'equal memory' requirement)."""
+
+    @pytest.fixture(scope="class")
+    def pair(self):
+        vecs = clustered(3000, 64, seed=5)
+        # threads=1: the parallel build allocates a fixed 2.6 MB lock
+        # pool that would swamp this tiny 64-dim corpus's accounting
+        # (at the real 40k x 768 corpus it is noise)
+        f32 = HNSWIndex(dim=64, M=16, ef_construction=100)
+        f32.add(vecs, threads=1)
+        f32.compact()
+        b16 = HNSWIndex(dim=64, M=16, ef_construction=100,
+                        vec_dtype="bfloat16")
+        b16.add(vecs, threads=1)
+        b16.compact()
+        return f32, b16, vecs
+
+    def test_memory_halves_and_beats_flat(self, pair):
+        f32, b16, vecs = pair
+        assert b16.vec_dtype == "bfloat16"
+        # vector payload halves; links are shared overhead
+        saved = f32.memory_bytes() - b16.memory_bytes()
+        assert saved >= vecs.nbytes * 0.45
+        # the equal-memory claim: graph <= flat fp32 matrix bytes
+        # (64-dim is link-heavy; at 768-dim the margin is much wider)
+        assert b16.memory_bytes() <= vecs.nbytes + 3_000 * 150
+
+    def test_recall_parity_with_f32_graph(self, pair):
+        f32, b16, vecs = pair
+        rng = np.random.default_rng(6)
+        q = vecs[rng.integers(0, len(vecs), 64)]
+        exact = np.argsort(-(q @ vecs.T), axis=1)[:, :10]
+
+        def recall(idx):
+            _, ids = idx.search(q, 10, ef_search=64)
+            return np.mean([
+                len(set(r) & set(e)) / 10 for r, e in zip(ids, exact)
+            ])
+
+        r32, r16 = recall(f32), recall(b16)
+        assert r16 >= r32 - 0.02, (r16, r32)
+        assert r16 >= 0.95
+
+    def test_bf16_save_load_roundtrip(self, pair, tmp_path):
+        _, b16, vecs = pair
+        p = str(tmp_path / "g16.hnsw")
+        b16.save(p)
+        loaded = HNSWIndex.load(p)
+        assert loaded.vec_dtype == "bfloat16"
+        assert len(loaded) == len(b16)
+        q = vecs[:4]
+        ip_a, id_a = b16.search(q, 5, 64)
+        ip_b, id_b = loaded.search(q, 5, 64)
+        assert np.array_equal(id_a, id_b)
+        np.testing.assert_allclose(ip_a, ip_b)
+
+    def test_store_bf16_graph_scores_exact(self):
+        """Through the store (HNSW_VEC_DTYPE default bfloat16): scores
+        must be EXACT fp32 weighted values (host re-rank), matching the
+        flat exact path."""
+        from rag_icd10_tpu.config import HNSWConfig
+
+        corpus = synthetic_corpus(1500, seed=21)
+        rng = np.random.default_rng(21)
+        vecs = rng.standard_normal((1500, 64)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        store = VectorStore(
+            dim=64, config=StoreConfig(pad_multiple=128),
+            hnsw_config=HNSWConfig(vec_dtype="bfloat16", ef_search=128),
+        )
+        store.insert_records(list(corpus.records()), vecs)
+        q = vecs[:8]
+        exact_rows = store.search(q, top_k=5)  # flat exact
+        hnsw_rows = store.search(q, top_k=5, method="hnsw")
+        assert store._hnsw.vec_dtype == "bfloat16"
+        for a, b in zip(exact_rows, hnsw_rows):
+            ids_a = [h.id for h in a]
+            for h in b:
+                if h.id in ids_a:
+                    ref = a[ids_a.index(h.id)]
+                    # exact fp32 re-ranked score, not bf16-rounded
+                    assert abs(h.score - ref.score) < 1e-5
+
+
 class TestStoreHNSWPath:
     def test_level_weighted_resort(self):
         corpus = synthetic_corpus(256, seed=3)
