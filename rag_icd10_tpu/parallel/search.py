@@ -47,9 +47,13 @@ class ShardedFlatSearcher:
         self.n_padded = cp.shape[0]
         row_sharding = NamedSharding(mesh, P(axis, None))
         vec_sharding = NamedSharding(mesh, P(axis))
-        self.corpus = jax.device_put(cp, row_sharding)
-        self.weights = jax.device_put(wp, vec_sharding)
-        self.mask = jax.device_put(mask, vec_sharding)
+        # multihost-aware placement: under jax.distributed each process
+        # materializes only its addressable shards (multihost.py)
+        from .multihost import global_device_put
+
+        self.corpus = global_device_put(cp, row_sharding)
+        self.weights = global_device_put(wp, vec_sharding)
+        self.mask = global_device_put(mask, vec_sharding)
         self._fn_cache = {}
 
     def _build(self, k: int, method: str = "auto"):

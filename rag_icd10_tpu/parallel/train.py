@@ -18,6 +18,7 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -194,10 +195,18 @@ def init_train_state(
         optimizer = optax.adamw(learning_rate, weight_decay=0.01)
     opt_state = optimizer.init(params)
     if mesh is not None:
+        # multihost-aware placement: identical (deterministic-seed) host
+        # values on every process; each materializes only its shards
+        from .multihost import global_device_put
+
         shardings = param_shardings(mesh, params)
-        params = jax.device_put(params, shardings)
-        opt_state = jax.device_put(
-            opt_state, opt_state_shardings(mesh, params, opt_state)
+        params = jax.tree_util.tree_map(
+            lambda x, s: global_device_put(np.asarray(x), s),
+            params, shardings,
+        )
+        opt_state = jax.tree_util.tree_map(
+            lambda x, s: global_device_put(np.asarray(x), s),
+            opt_state, opt_state_shardings(mesh, params, opt_state),
         )
     return params, opt_state, optimizer
 
