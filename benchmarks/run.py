@@ -279,6 +279,8 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
     if jax.default_backend() != "tpu":
         return {"skipped": "streaming kernel benches require the TPU"}
 
+    from rag_icd10_tpu.ops.chunk_stream import ChunkStore, chunk_stream_search
+
     def bench_pair(vecs, wts, b, k, iters=20):
         rng = np.random.default_rng(6)
         q = rng.standard_normal((b, vecs.shape[1])).astype(np.float32)
@@ -289,13 +291,20 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
         n = cp.shape[0]
         st_tile = streaming_tile_n(b, n, 4, dim=cp.shape[1], k=k)
         mat_tile = default_tile_n(b, n, 4, dim=cp.shape[1])
+        cstore = ChunkStore.build(vecs, wts, batch_hint=b)
 
         @partial(jax.jit, static_argnames=("iters", "mode"))
-        def chained(q, c, w, mk, iters=iters, mode="stream"):
+        def chained(q, c, w, mk, ct, craw, cw, cm, iters=iters, mode="stream"):
             def body(carry, _):
                 qq = q + carry[:, :1] * 1e-6
                 if mode == "stream":
                     vals, _ = streaming_topk(qq, c, w, mk, k=k, tile_n=st_tile)
+                elif mode == "chunkstream":
+                    vals, _, _ = chunk_stream_search(
+                        qq, ct, craw, cw, cm, k=k,
+                        tile_n=cstore.tile_n, n_real=cstore.n_real,
+                        guarantee=False,
+                    )
                 else:
                     s = fused_weighted_scores(qq, c, w, mk, tile_n=mat_tile)
                     vals = jax.lax.top_k(s, k)[0]
@@ -307,23 +316,34 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
             return out
 
         res = {}
-        for mode in ("materialized", "stream"):
-            out = np.asarray(chained(qd, cd, wd, md, mode=mode))  # compile
+        args = (qd, cd, wd, md, cstore.corpus_t, cstore.corpus,
+                cstore.weights, cstore.mask)
+        for mode in ("materialized", "stream", "chunkstream"):
+            out = np.asarray(chained(*args, mode=mode))  # compile
             t0 = time.time()
-            out = np.asarray(chained(qd, cd, wd, md, mode=mode))
+            out = np.asarray(chained(*args, mode=mode))
             dt = (time.time() - t0) / iters
             res[mode] = {
                 "scan_ms": round(dt * 1000, 3),
                 "corpus_gb_per_s": round(cp.nbytes / dt / 1e9, 1),
             }
-        # parity of the two paths on this data
-        sv, si = streaming_topk(qd, cd, wd, md, k=k, tile_n=st_tile)
+        # parity of the streaming paths against the materialized scan
         s = fused_weighted_scores(qd, cd, wd, md, tile_n=mat_tile)
         mv, mi = jax.lax.top_k(s, k)
+        sv, si = streaming_topk(qd, cd, wd, md, k=k, tile_n=st_tile)
         res["exact_match"] = bool(
             np.array_equal(np.asarray(si), np.asarray(mi))
             and np.allclose(np.asarray(sv), np.asarray(mv), rtol=1e-5)
         )
+        cv, ci, cert = chunk_stream_search(
+            qd, cstore.corpus_t, cstore.corpus, cstore.weights, cstore.mask,
+            k=k, tile_n=cstore.tile_n, n_real=cstore.n_real, guarantee=False,
+        )
+        res["chunkstream_exact_match"] = bool(
+            np.array_equal(np.asarray(ci), np.asarray(mi))
+            and np.allclose(np.asarray(cv), np.asarray(mv), rtol=1e-5)
+        )
+        res["chunkstream_cert_fraction"] = float(np.asarray(cert).mean())
         res["n_rows"] = int(n)
         return res
 
