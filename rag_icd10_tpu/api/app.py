@@ -27,6 +27,7 @@ import time
 from pathlib import Path
 from typing import Any, Dict
 
+import numpy as np
 from aiohttp import web
 from pydantic import ValidationError
 
@@ -134,6 +135,8 @@ class APIServer:
         app.router.add_get("/health", self.health)
         app.router.add_post("/query", self.query)
         app.router.add_post("/standardize", self.standardize)
+        app.router.add_post("/vector_search", self.vector_search)
+        app.router.add_post("/semantic_similarities", self.semantic_similarities)
         app.router.add_post("/embed", self.embed)
         app.router.add_post("/entities", self.entities)
         app.router.add_get("/stats", self.stats)
@@ -236,6 +239,63 @@ class APIServer:
         except Exception as e:
             logger.exception("query failed")
             return error_response(f"查询失败: {e}", 500)
+
+    async def vector_search(self, request) -> web.Response:
+        """Store-server endpoint (reference parity: remote Milvus mode,
+        milvus_service.py:57-118): raw vector search against THIS host's
+        device-resident corpus, for RemoteVectorStore clients on other
+        hosts (STORE_MODE=remote). Device work runs off the event loop."""
+        try:
+            body = await request.json()
+            vectors = np.asarray(body["vectors"], dtype=np.float32)
+            top_k = int(body.get("top_k", 5))
+            method = body.get("search_method")
+            ef = body.get("ef_search")
+            if vectors.ndim != 2 or not (1 <= top_k <= 512):
+                raise ValueError("vectors must be (B, D); 1 <= top_k <= 512")
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            return error_response(f"请求无效: {e}", 400)
+        store = self.engine.store
+        if store is None or not store.num_entities:
+            return error_response("向量库未就绪", 503)
+        try:
+            loop = asyncio.get_event_loop()
+            rows = await loop.run_in_executor(
+                None,
+                lambda: store.search(
+                    vectors, top_k, method=method, ef_search=ef
+                ),
+            )
+            return json_response(
+                {"rows": [[h.to_dict() for h in row] for row in rows]}
+            )
+        except ValueError as e:
+            return error_response(f"请求无效: {e}", 400)
+        except Exception as e:
+            logger.exception("vector_search failed")
+            return error_response(f"检索失败: {e}", 500)
+
+    async def semantic_similarities(self, request) -> web.Response:
+        """Companion store-server endpoint: the rescoring stack's
+        cosine(query, semantic_text) gather for remote clients."""
+        try:
+            body = await request.json()
+            qv = np.asarray(body["query_vectors"], dtype=np.float32)
+            ids = np.asarray(body["candidate_ids"], dtype=np.int64)
+        except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
+            return error_response(f"请求无效: {e}", 400)
+        store = self.engine.store
+        if store is None or not store.num_entities:
+            return error_response("向量库未就绪", 503)
+        try:
+            loop = asyncio.get_event_loop()
+            sims = await loop.run_in_executor(
+                None, lambda: store.semantic_similarities(qv, ids)
+            )
+            return json_response({"sims": np.asarray(sims).tolist()})
+        except Exception as e:
+            logger.exception("semantic_similarities failed")
+            return error_response(f"相似度计算失败: {e}", 500)
 
     async def standardize(self, request) -> web.Response:
         try:

@@ -158,6 +158,26 @@ class StoreConfig:
     # "auto" = shard when >1 TPU device is attached; "on"/"off" force it.
     # Per-shard scan + one all_gather(k) merge — the 100M-row scaling path.
     sharded: str = field(default_factory=lambda: _env("STORE_SHARDED", "auto"))
+    # store mode (reference parity: MILVUS_MODE=server connects to a
+    # remote Milvus, milvus_service.py:57-118): "local" serves this
+    # host's device-resident store; "remote" forwards vector search to a
+    # peer API server (STORE_SERVER_URL) that shares ITS device corpus.
+    mode: str = field(
+        default_factory=lambda: _env(
+            "STORE_MODE",
+            "remote" if _env("MILVUS_MODE", "") == "server" else "local",
+        )
+    )
+    server_url: str = field(
+        default_factory=lambda: _env(
+            "STORE_SERVER_URL",
+            (
+                f"http://{_env('MILVUS_HOST', '')}:{_env('MILVUS_PORT', '8005')}"
+                if _env("MILVUS_HOST", "")
+                else ""
+            ),
+        )
+    )
     # Level weights applied at search time and re-sorted
     # (milvus_service.py:292-316,550-558).
     level_weights: tuple = (1.2, 1.0, 0.8)  # levels 1,2,3

@@ -112,6 +112,24 @@ class Engine:
 
     def init_store(self, load: bool = True) -> VectorStore:
         if self.store is None:
+            cfg = self.config.store
+            if cfg.mode in ("remote", "server") and cfg.server_url:
+                # share a peer API server's device-resident corpus
+                # (reference: MILVUS_MODE=server, milvus_service.py:57-118)
+                from .data.corpus import load_corpus
+                from .index.remote_store import RemoteVectorStore
+
+                logger.info("remote store mode -> %s", cfg.server_url)
+                corpus = None
+                try:
+                    corpus = load_corpus(self.config.data_path)
+                except Exception:
+                    logger.warning(
+                        "no local corpus CSV — remote hits carry all "
+                        "metadata; terminology features degrade gracefully"
+                    )
+                self.store = RemoteVectorStore(cfg.server_url, corpus=corpus)
+                return self.store
             base = self.config.store.db_path
             if VectorStore.exists(base):
                 logger.info("loading persisted store from %s", base)
