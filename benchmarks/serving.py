@@ -64,13 +64,24 @@ async def run(base: str, clients: int, requests: int):
         wall = time.time() - t0
         lat = sorted(latencies)
         total = len(latencies)
-        return {
+        out = {
             "clients": clients,
             "requests": total,
             "sustained_qps": round(total / wall, 1),
             "p50_ms": round(lat[total // 2] * 1000, 1),
             "p95_ms": round(lat[int(total * 0.95)] * 1000, 1),
         }
+        # per-stage timers + pipelining state from the server itself
+        try:
+            async with session.get(f"{base}/stats") as r:
+                stats = await r.json()
+            out["stage_latency"] = stats.get("stage_latency", {})
+            batching = stats.get("batching", {})
+            out["pipelined"] = batching.get("pipelined")
+            out["avg_batch_size"] = batching.get("avg_batch_size")
+        except Exception:
+            pass
+        return out
 
 
 def main() -> None:
