@@ -68,7 +68,7 @@ def main() -> None:
     # taken (it serializes the chained iterations), so the contract is
     # host-mediated — the caller redoes uncertified batches on the exact
     # path. This bench asserts certified_fraction and measured recall
-    # instead; values carry <=4e-5 certified scan rounding.
+    # instead; values carry <=8e-5 (EPS_HIGH_DOT) certified rounding.
     # certificate scale = w_max * max row norm (rows are unit-norm from
     # the encoder, but a store with unnormalized vectors must not
     # silently weaken the certificate)

@@ -240,6 +240,16 @@ class APIServer:
             logger.exception("query failed")
             return error_response(f"查询失败: {e}", 500)
 
+    async def _run_on_device_thread(self, fn):
+        """Run device work on the batcher's single device thread so store-
+        server requests serialize with /query batches (jit-cache friendly,
+        and a SIGTERM mid-compile can't wedge the default executor —
+        batching.py documents why that thread is abandonable). Falls back
+        to a default-executor run only before the batcher exists."""
+        loop = asyncio.get_event_loop()
+        executor = self.batcher._executor if self.batcher else None
+        return await loop.run_in_executor(executor, fn)
+
     async def vector_search(self, request) -> web.Response:
         """Store-server endpoint (reference parity: remote Milvus mode,
         milvus_service.py:57-118): raw vector search against THIS host's
@@ -259,9 +269,7 @@ class APIServer:
         if store is None or not store.num_entities:
             return error_response("向量库未就绪", 503)
         try:
-            loop = asyncio.get_event_loop()
-            rows = await loop.run_in_executor(
-                None,
+            rows = await self._run_on_device_thread(
                 lambda: store.search(
                     vectors, top_k, method=method, ef_search=ef
                 ),
@@ -287,10 +295,17 @@ class APIServer:
         store = self.engine.store
         if store is None or not store.num_entities:
             return error_response("向量库未就绪", 503)
+        # bounds-check BEFORE fancy indexing: a negative id would wrap to
+        # the end of the matrix and return a plausible-but-wrong value
+        if ids.size and (
+            int(ids.min()) < 0 or int(ids.max()) >= store.num_entities
+        ):
+            return error_response(
+                f"candidate_ids out of range [0, {store.num_entities})", 400
+            )
         try:
-            loop = asyncio.get_event_loop()
-            sims = await loop.run_in_executor(
-                None, lambda: store.semantic_similarities(qv, ids)
+            sims = await self._run_on_device_thread(
+                lambda: store.semantic_similarities(qv, ids)
             )
             return json_response({"sims": np.asarray(sims).tolist()})
         except Exception as e:

@@ -28,11 +28,17 @@ Pipelining: when the matcher exposes the three-stage split
 (extract_stage / device_stage / rescore_stage,
 pipeline/orchestrator.py), up to two batches are in flight at once —
 batch n+1's host extraction overlaps batch n's device wait, and batch
-n's host rescoring overlaps batch n+1's device work. Device work STILL
-runs on the single device thread (jit-cache friendly, strictly
-serialized); only the host stages move to a separate 2-thread pool, so
-steady-state throughput approaches max(device, host) per batch instead
-of their sum. The reference processes each request fully sequentially.
+n's host rescoring overlaps batch n+1's device work. The HEAVY device
+programs (encoder forward + fused search) still run on the single
+device thread (jit-cache friendly, strictly serialized); only the host
+stages move to a separate 2-thread pool, so steady-state throughput
+approaches max(device, host) per batch instead of their sum. One
+documented exception: enhanced extraction may issue a small
+boundary-embedding encode (pipeline/enhanced.py) from the host pool
+concurrently with the in-flight batch's scan — JAX dispatch is
+thread-safe and XLA serializes on-device, so this costs at most minor
+queueing jitter, not correctness. The reference processes each request
+fully sequentially.
 """
 
 from __future__ import annotations

@@ -62,7 +62,9 @@ class RemoteVectorStore:
 
     @property
     def num_entities(self) -> int:
-        if self._num_entities is None:
+        if not self._num_entities:
+            # no negative caching: a client that boots during the serving
+            # host's 60-90s init must recover once the peer is healthy
             self._refresh_health()
         return self._num_entities or 0
 
@@ -75,7 +77,8 @@ class RemoteVectorStore:
 
     def _refresh_health(self) -> None:
         h = self.health_check()
-        self._num_entities = int(h.get("total_records", 0))
+        if h.get("healthy"):
+            self._num_entities = int(h.get("total_records", 0))
 
     # -------------------------------------------------------------- search
 

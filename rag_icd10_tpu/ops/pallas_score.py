@@ -325,178 +325,6 @@ def streaming_candidates(
     )(q, corpus, w2, m2)
 
 
-# ---------------------------------------------------------------------------
-# Streaming chunk-select top-k: the scaling flagship. Pass 1 streams the
-# corpus through a Pallas kernel whose epilogue reduces each tile's
-# (B, T) scores to per-128-row chunk maxima IN VMEM — HBM sees only the
-# corpus read plus a tiny (B, N/128) maxima array (256x smaller than the
-# scores). Pass 2 selects the top-mc chunks per query (lax.top_k over
-# (B, N/128) instead of (B, N) — at 1M rows that full top-k alone costs
-# ~5 ms, half the materialized path) and gathers ONLY those chunks'
-# corpus rows as contiguous 128-row blocks (128 KB each — block DMAs run
-# at HBM bandwidth; row gathers run ~37 GB/s, docs/PERF.md) for an exact
-# fp32 HIGHEST re-score.
-#
-# Exactness is certified per query with NO epsilon: pass 1 runs at
-# HIGHEST so chunk maxima are exact, pass 2 re-scores at HIGHEST, and
-# every row in an unfetched chunk is bounded by the mc-th chunk max. If
-# the k-th re-scored value reaches that bound the top-k is provably
-# complete (ties may permute); otherwise the caller (guarantee=False) or
-# an in-program lax.cond (guarantee=True) redoes the materialized scan.
-# ---------------------------------------------------------------------------
-
-
-def _make_chunkmax_kernel(precision):
-    def kernel(q_ref, c_ref, w_ref, m_ref, o_ref):
-        s = jax.lax.dot_general(
-            q_ref[:], c_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        ) * w_ref[:] + m_ref[:]  # (B, T)
-        b, t = s.shape
-        cm = jnp.max(s.reshape(b, t // 128, 128), axis=2)  # (B, e)
-        # output blocks are (e, B): Pallas requires the minor block dim be
-        # 128-divisible or full-size, and e = T/128 is typically 8-32
-        o_ref[:] = cm.T
-
-    return kernel
-
-
-def chunk_stream_tile_n(batch: int, n: int, dtype_bytes: int, dim: int) -> int:
-    """VMEM-budgeted corpus tile for the chunk-max streaming kernel: the
-    epilogue keeps the (B, T) scores plus the lane-reduction temporary
-    (~2 live (B, T) fp32 blocks)."""
-    return default_tile_n(batch, n, dtype_bytes, dim=dim, temporaries=2)
-
-
-def streaming_chunk_maxima(
-    queries: jnp.ndarray,
-    corpus: jnp.ndarray,
-    weights: jnp.ndarray,
-    mask: jnp.ndarray,
-    tile_n: int,
-    exact: bool = True,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Pass 1: (B, N/128) per-chunk score maxima; (B, N) never hits HBM."""
-    precision = (
-        jax.lax.Precision.HIGHEST if exact else jax.lax.Precision.DEFAULT
-    )
-    b, d = queries.shape
-    n, d2 = corpus.shape
-    assert d == d2, (d, d2)
-    assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
-    num_tiles = n // tile_n
-    e = tile_n // 128
-
-    w2 = weights.reshape(1, n).astype(jnp.float32)
-    m2 = mask.reshape(1, n).astype(jnp.float32)
-    q = queries.astype(corpus.dtype)
-
-    cm_t = pl.pallas_call(
-        _make_chunkmax_kernel(precision),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec((b, d), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, d), lambda j: (j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_n), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((e, b), lambda j: (j, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n // 128, b), jnp.float32),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * b * n * d,
-            bytes_accessed=n * d * corpus.dtype.itemsize + b * (n // 128) * 4,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(q, corpus, w2, m2)
-    return cm_t.T  # (B, N/128); 4·B·N/128 bytes — trivial
-
-
-@partial(
-    jax.jit,
-    static_argnames=("k", "mc", "tile_n", "guarantee", "interpret"),
-)
-def streaming_chunk_topk(
-    queries: jnp.ndarray,
-    corpus: jnp.ndarray,
-    weights: jnp.ndarray,
-    mask: jnp.ndarray,
-    k: int,
-    mc: int = 0,
-    tile_n: int = 0,
-    guarantee: bool = True,
-    interpret: bool = False,
-):
-    """Exact weighted top-k without materializing (B, N) scores to HBM,
-    via streaming chunk-max selection + contiguous block re-score.
-
-    Returns (values (B,k) fp32, indices (B,k) int32, certified (B,) bool).
-    certified uses NO error margin — both passes run fp32 HIGHEST — and
-    fails only when fewer than k of the true top-k live inside the top-mc
-    chunks (needs the top-k spread across > mc chunks with near-ties;
-    never observed on real or random data at the default mc).
-
-    mc: chunks fetched per query (default max(2k, k+16), ≥ k distinct
-    rows since each chunk's max is a distinct row).
-    """
-    b, d = queries.shape
-    n = corpus.shape[0]
-    assert n % 128 == 0, n
-    nc = n // 128
-    if mc <= 0:
-        mc = max(2 * k, k + 16)
-    mc = min(mc, nc)
-    if tile_n == 0:
-        tile_n = chunk_stream_tile_n(b, n, corpus.dtype.itemsize, dim=d)
-
-    cm = streaming_chunk_maxima(
-        queries, corpus, weights, mask, tile_n, exact=True,
-        interpret=interpret,
-    )  # (B, nc)
-    cvals, cidx = jax.lax.top_k(cm, mc)  # (B, mc)
-
-    # contiguous 128-row block gather: (B*mc) blocks of 128*d*4 bytes
-    qf = queries.astype(jnp.float32)
-    blocks = jnp.take(
-        corpus.reshape(nc, 128 * d), cidx.reshape(-1), axis=0
-    ).reshape(b, mc * 128, d)
-    wb = jnp.take(weights.reshape(nc, 128), cidx, axis=0).reshape(b, mc * 128)
-    mb = jnp.take(mask.reshape(nc, 128), cidx, axis=0).reshape(b, mc * 128)
-    scores = jnp.einsum(
-        "bd,bnd->bn",
-        qf,
-        blocks.astype(jnp.float32),
-        precision=jax.lax.Precision.HIGHEST,
-    ) * wb + mb  # (B, mc*128)
-
-    vals, sel = jax.lax.top_k(scores, k)
-    cols = (
-        cidx[:, :, None] * 128
-        + jax.lax.broadcasted_iota(jnp.int32, (b, mc, 128), 2)
-    ).reshape(b, mc * 128)
-    idx = jnp.take_along_axis(cols, sel, axis=1).astype(jnp.int32)
-    certified = vals[:, k - 1] >= cvals[:, mc - 1]
-
-    if not guarantee:
-        return vals, idx, certified
-
-    def keep(_):
-        return vals, idx
-
-    def fallback(_):
-        from .flat_topk import weighted_scores_reference
-
-        s = weighted_scores_reference(queries, corpus, weights, mask)
-        v, i = jax.lax.top_k(s, k)
-        return v, i.astype(jnp.int32)
-
-    vals_g, idx_g = jax.lax.cond(jnp.all(certified), keep, fallback, None)
-    return vals_g, idx_g, certified
-
-
 @partial(jax.jit, static_argnames=("k", "tile_n", "exact", "interpret"))
 def streaming_topk(
     queries: jnp.ndarray,

@@ -217,13 +217,14 @@ def chunk_select_search(
         exact as-is: certified ⇔ the k-th value beats the mc-th chunk
         max (fails only on near-ties across ≥ mc chunks).
       "high" — XLA bf16x3 scan (3 MXU passes instead of 6, values
-        within EPS_HIGH_DOT·‖q‖·max‖c‖ ≈ 4e-5 of fp32 — measured
+        within EPS_HIGH_DOT·‖q‖·max‖c‖ ≈ 8e-5 of fp32 — measured
         1.5x the HIGHEST path at B=256/N=40k). The certificate adds a
-        2ε margin on the chunk bound, so no row outside the fetched
+        2ε margin (ε = EPS_HIGH_DOT = 8e-5) on the chunk bound, so no
+        row outside the fetched
         candidates can beat the returned k-th; within the window,
         pairs whose true scores differ by < 2ε (duplicate-grade ties)
         may permute across the k boundary. Returned values carry the
-        ≤4e-5 scan rounding.
+        ≤8e-5 scan rounding.
       "bf16" — bf16 scan over a bf16-resident corpus (half the HBM;
         pass ``corpus_f32``): the top ``m`` candidates re-rank at fp32
         HIGHEST and the certificate uses the bf16 error bound.

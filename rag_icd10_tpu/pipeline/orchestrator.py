@@ -149,6 +149,9 @@ class MultiDiagnosisService:
         self.overfetch = overfetch
         self._fused = None
         self._rescore_executor: Any = False  # False = not yet sized
+        import threading
+
+        self._rescore_lock = threading.Lock()
 
     def _fused_engine(self):
         """Lazily build the fused encode+search engine when supported.
@@ -234,7 +237,10 @@ class MultiDiagnosisService:
 
     def extract_stage(self, texts: List[str]) -> Dict[str, Any]:
         """Stage 1 (host, CPU-bound): extraction + uncertainty-cleaned
-        encode texts. No device work."""
+        encode texts. Near-device-free: when semantic boundary detection
+        is on AND a text has multiple segments, enhanced extraction
+        issues one small boundary-embedding encode (safe to overlap with
+        the device stage of another batch — see api/batching.py)."""
         from ..utils.metrics import metrics
 
         per_text: List[Dict[str, Any]] = []
@@ -449,22 +455,27 @@ class MultiDiagnosisService:
         nothing under one core and cost switching overhead."""
         if self._rescore_executor is not False:
             return self._rescore_executor
-        import os
+        with self._rescore_lock:
+            # two pipelined batches can race here; only one may build the
+            # pool (the loser would leak live threads)
+            if self._rescore_executor is not False:
+                return self._rescore_executor
+            import os
 
-        from ..config import get_config
+            from ..config import get_config
 
-        workers = get_config().pipeline.rescore_workers
-        if workers == 0:
-            workers = min(8, max((os.cpu_count() or 1) - 1, 0))
-        if workers <= 1:
-            self._rescore_executor = None
-        else:
-            from concurrent.futures import ThreadPoolExecutor
+            workers = get_config().pipeline.rescore_workers
+            if workers == 0:
+                workers = min(8, max((os.cpu_count() or 1) - 1, 0))
+            if workers <= 1:
+                self._rescore_executor = None
+            else:
+                from concurrent.futures import ThreadPoolExecutor
 
-            self._rescore_executor = ThreadPoolExecutor(
-                max_workers=workers, thread_name_prefix="rescore"
-            )
-        return self._rescore_executor
+                self._rescore_executor = ThreadPoolExecutor(
+                    max_workers=workers, thread_name_prefix="rescore"
+                )
+            return self._rescore_executor
 
     # --------------------------------------------------------- single path
 

@@ -120,10 +120,16 @@ class Engine:
                 from .index.remote_store import RemoteVectorStore
 
                 logger.info("remote store mode -> %s", cfg.server_url)
+                # corpus=None (NOT load_corpus's synthetic fallback —
+                # fake titles would silently poison the terminology
+                # cache) when the real CSV is absent: remote hits carry
+                # all metadata and corpus-wide features degrade cleanly
                 corpus = None
-                try:
+                from pathlib import Path as _Path
+
+                if self.config.data_path and _Path(self.config.data_path).exists():
                     corpus = load_corpus(self.config.data_path)
-                except Exception:
+                else:
                     logger.warning(
                         "no local corpus CSV — remote hits carry all "
                         "metadata; terminology features degrade gracefully"

@@ -174,8 +174,11 @@ class DatabaseBuilder:
             return self.verify_database(store=store)
 
         # the appended rows MUST be embedded by the same encoder that
-        # built the store (the sidecar records it; runtime.py refuses a
-        # mismatch at serve time)
+        # built the store: adopt the sidecar's weights/vocab exactly as
+        # serving does (runtime.py) — appending random-init vectors into
+        # a trained-embedding store would make the new rows silently
+        # unretrievable
+        import dataclasses
         import json
 
         sidecar_path = Path(str(base) + ".encoder.json")
@@ -188,12 +191,27 @@ class DatabaseBuilder:
                 else None
             )
             if want != have:
-                logger.warning(
-                    "encoder weights differ from the store sidecar "
-                    "(%s vs %s) — appended vectors may be inconsistent; "
-                    "set ENCODER_WEIGHTS_PATH to match or --rebuild",
-                    have, want,
-                )
+                if want and Path(want).exists():
+                    logger.info(
+                        "adopting the store's encoder weights from the "
+                        "sidecar: %s", want,
+                    )
+                    enc_cfg = dataclasses.replace(
+                        cfg.encoder,
+                        weights_path=want,
+                        vocab_path=sidecar.get("vocab_path")
+                        or cfg.encoder.vocab_path,
+                    )
+                    self.config = dataclasses.replace(cfg, encoder=enc_cfg)
+                    self.encoder = None  # rebuild with the sidecar pairing
+                    cfg = self.config
+                elif want:
+                    logger.warning(
+                        "store sidecar points at missing weights %s — "
+                        "appended vectors may be inconsistent; set "
+                        "EMBEDDING_WEIGHTS_PATH to the store's weights or "
+                        "--rebuild", want,
+                    )
         encoder = self._init_encoder(store.corpus)
         logger.info(
             "appending %d new records (of %d CSV rows) to %d existing",

@@ -164,6 +164,69 @@ class TestBuilderEngineRoundtrip:
         store3 = VectorStore.load(base, config=cfg.store)
         assert store3.num_entities == n1 + 2
 
+    def test_append_adopts_sidecar_weights(self, tiny_env):
+        """Appending must embed new rows with the encoder that BUILT the
+        store (the sidecar pairing, like serving does) — otherwise the
+        appended vectors land in a different embedding space and the new
+        codes are silently unretrievable."""
+        tmp_path, cfg = tiny_env
+        import dataclasses
+
+        import numpy as np
+
+        from rag_icd10_tpu.models.bert import BertArch, init_params
+        from rag_icd10_tpu.models.convert_hf import save_params
+        from rag_icd10_tpu.tools.build_database import DatabaseBuilder
+
+        base = str(tmp_path / "store")
+        # persist a deterministic weights file and build the store with it
+        arch = BertArch(
+            vocab_size=4096, hidden_size=32, num_layers=1, num_heads=2,
+            intermediate_size=64, max_position_embeddings=64,
+        )
+        wpath = tmp_path / "w" / "params.npz"
+        save_params(init_params(arch, seed=7), str(wpath))
+        cfg_w = dataclasses.replace(
+            cfg,
+            store=dataclasses.replace(
+                cfg.store, db_path=base, pad_multiple=128
+            ),
+            encoder=dataclasses.replace(
+                cfg.encoder, weights_path=str(wpath)
+            ),
+        )
+        csv_v1 = tmp_path / "v1.csv"
+        csv_v1.write_text(
+            "code,disease\nA01.0,伤寒\nB01.9,水痘\nE11.9,2型糖尿病\n",
+            encoding="utf-8",
+        )
+        assert DatabaseBuilder(cfg_w).build_full_database(
+            str(csv_v1), rebuild=True
+        )
+
+        # a naive operator appends WITHOUT the env vars set
+        cfg_plain = dataclasses.replace(
+            cfg,
+            store=dataclasses.replace(
+                cfg.store, db_path=base, pad_multiple=128
+            ),
+        )
+        csv_v2 = tmp_path / "v2.csv"
+        csv_v2.write_text(
+            csv_v1.read_text(encoding="utf-8") + "J18.9,肺炎\n",
+            encoding="utf-8",
+        )
+        builder = DatabaseBuilder(cfg_plain)
+        assert builder.build_full_database(str(csv_v2), rebuild=False)
+        # the builder adopted the sidecar weights for the append
+        assert builder.config.encoder.weights_path == str(wpath.resolve())
+        # the appended row is retrievable in the SAME embedding space:
+        # its own title query must rank it first
+        store = VectorStore.load(base, config=cfg_plain.store)
+        enc = builder._init_encoder(store.corpus)
+        hits = store.search(enc.encode_query("肺炎"), top_k=1)[0]
+        assert hits[0].code == "J18.9"
+
     def test_verify_only_without_store_fails_cleanly(self, tiny_env):
         tmp_path, cfg = tiny_env
         import dataclasses

@@ -6,6 +6,11 @@ multihost-aware data feeding (parallel/multihost.py).
 
 This is the multi-host half of the distributed story; the single-process
 8-device mesh coverage lives in test_parallel.py and __graft_entry__.
+
+Note on the one-JAX-process rule (CLAUDE.md): that rule exists to keep
+TPU/tunnel work serialized. These subprocesses are CPU-only, tiny, and
+bounded (280 s hard kill) — they contend briefly for the core but cannot
+touch the TPU or wedge the tunnel.
 """
 
 import socket
