@@ -194,6 +194,12 @@ def main(argv=None) -> int:
         "uncertainty markers (composable with --augment-prob transforms)",
     )
     parser.add_argument("--out", default="db/trained")
+    parser.add_argument(
+        "--init-from", default=None,
+        help="warm-start params from a params.npz checkpoint (the axon "
+        "tunnel can wedge mid-run — resume from the last --save-every "
+        "checkpoint instead of restarting; optimizer state restarts)",
+    )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", type=int, default=0, help="mesh dp (0 = single device)")
     parser.add_argument("--tp", type=int, default=1)
@@ -258,6 +264,11 @@ def main(argv=None) -> int:
         max_position_embeddings=enc_cfg.max_position_embeddings,
     )
     params = init_params(arch, seed=args.seed)
+    if args.init_from:
+        from ..models.convert_hf import load_params
+
+        logger.info("warm-starting params from %s", args.init_from)
+        params = load_params(args.init_from)
     schedule = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup_steps=min(100, args.steps // 10 + 1),
         decay_steps=args.steps,
