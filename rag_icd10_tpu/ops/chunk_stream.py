@@ -194,6 +194,8 @@ class ChunkStore:
     corpus_t: (D, N_pad) fp32, weight-folded and transposed (pass 1)
     corpus:   (N_pad, D) fp32 raw rows (pass 2 re-score)
     weights / mask: (N_pad,) fp32 (pass-2 epilogue + padding)
+    bound_scale: max ‖w_i·c_i‖ over folded rows — the certificate scale
+    for reduced-precision pass-1 scans (scan="xla_high")
     """
 
     corpus_t: jnp.ndarray
@@ -202,6 +204,7 @@ class ChunkStore:
     mask: jnp.ndarray
     n_real: int
     tile_n: int
+    bound_scale: float = 1.2
 
     @classmethod
     def build(
@@ -219,7 +222,9 @@ class ChunkStore:
         )
         n = cp.shape[0]
         tile_n = transposed_tile_n(batch_hint, n, cp.shape[1], cap=tile_cap)
-        ct = (cp * wp[:, None]).T.copy()
+        folded = cp * wp[:, None]
+        ct = folded.T.copy()
+        bscale = float(np.linalg.norm(folded, axis=1).max()) or 1.0
         return cls(
             corpus_t=jax.device_put(ct),
             corpus=jax.device_put(cp),
@@ -227,11 +232,12 @@ class ChunkStore:
             mask=jax.device_put(mask),
             n_real=int(vectors.shape[0]),
             tile_n=tile_n,
+            bound_scale=bscale,
         )
 
 
 @partial(jax.jit, static_argnames=("k", "mc", "tile_n", "n_real",
-                                   "guarantee", "interpret"))
+                                   "scan", "guarantee", "interpret"))
 def chunk_stream_search(
     queries: jnp.ndarray,
     corpus_t: jnp.ndarray,
@@ -242,11 +248,28 @@ def chunk_stream_search(
     mc: int = 0,
     tile_n: int = 0,
     n_real: int = 0,
+    scan: str = "pallas",
+    bound_scale: float = 1.2,
     guarantee: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact weighted top-k over a ChunkStore. Returns (values, indices,
-    certified). See module docstring for the certificate argument."""
+    certified). See module docstring for the certificate argument.
+
+    scan — how pass 1 computes the chunk maxima:
+      "pallas"   — the streaming Pallas kernel, fp32 HIGHEST: (B, N)
+                   provably never reaches HBM; zero-epsilon certificate.
+      "xla"      — plain XLA dot at HIGHEST + fused chunk-max: XLA may
+                   or may not materialize (B, N) (it tiles the matmul
+                   itself and fuses reductions where it can) but avoids
+                   Pallas' measured ~12 µs/grid-step cost on this
+                   platform; zero-epsilon certificate.
+      "xla_high" — XLA bf16x3 dot (3 MXU passes instead of 6); the
+                   certificate widens by EPS_HIGH_DOT·bound_scale·‖q‖
+                   (pass-2 re-scoring stays exact fp32 HIGHEST, so only
+                   the chunk BOUND carries scan rounding).
+    """
+    assert scan in ("pallas", "xla", "xla_high"), scan
     b, d = queries.shape
     n = corpus.shape[0]
     nc = n // 128
@@ -258,8 +281,19 @@ def chunk_stream_search(
     if n_real == 0:
         n_real = n
 
-    cm = chunk_maxima_transposed(queries, corpus_t, tile_n,
-                                 interpret=interpret)  # (B, nc)
+    if scan == "pallas":
+        cm = chunk_maxima_transposed(queries, corpus_t, tile_n,
+                                     interpret=interpret)  # (B, nc)
+    else:
+        precision = (
+            jax.lax.Precision.HIGHEST if scan == "xla"
+            else jax.lax.Precision.HIGH
+        )
+        s = jnp.dot(
+            queries.astype(jnp.float32), corpus_t,
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        cm = jnp.max(s.reshape(b, nc, 128), axis=2)
     # fully-padded chunks can never win; partially-padded chunks keep
     # their (possibly 0 from zero-padding) max — a sound upper bound
     nc_real = _cdiv(n_real, 128)
@@ -279,7 +313,18 @@ def chunk_stream_search(
         + jax.lax.broadcasted_iota(jnp.int32, (b, mc, 128), 2)
     ).reshape(b, mc * 128)
     idx = jnp.take_along_axis(cols, sel, axis=1).astype(jnp.int32)
-    certified = vals[:, k - 1] >= cvals[:, mc - 1]
+    chunk_bound = cvals[:, mc - 1]
+    if scan == "xla_high":
+        # an unfetched row's TRUE weighted score can exceed its HIGH
+        # chunk max by the scan rounding; pass-2 values are exact, so
+        # ONE epsilon suffices
+        from .rerank import EPS_HIGH_DOT
+
+        q_norms = jnp.sqrt(
+            jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
+        )
+        chunk_bound = chunk_bound + EPS_HIGH_DOT * bound_scale * q_norms
+    certified = vals[:, k - 1] >= chunk_bound
 
     if not guarantee:
         return vals, idx, certified
@@ -301,10 +346,12 @@ def chunk_stream_search(
 
 
 def search(store: ChunkStore, queries, k: int, mc: int = 0,
-           guarantee: bool = False, interpret: bool = False):
+           scan: str = "pallas", guarantee: bool = False,
+           interpret: bool = False):
     """Convenience wrapper binding a ChunkStore's device state."""
     return chunk_stream_search(
         jnp.asarray(queries, jnp.float32), store.corpus_t, store.corpus,
         store.weights, store.mask, k=k, mc=mc, tile_n=store.tile_n,
-        n_real=store.n_real, guarantee=guarantee, interpret=interpret,
+        n_real=store.n_real, scan=scan, bound_scale=store.bound_scale,
+        guarantee=guarantee, interpret=interpret,
     )

@@ -65,6 +65,35 @@ class TestChunkStreamExactness:
         evals, eidx = brute(q, vecs, w, 10)
         assert np.array_equal(idx, eidx)
 
+    def test_xla_scan_matches_brute_force(self, store_and_data):
+        """scan="xla" (HIGHEST, zero-epsilon certificate) must be exact."""
+        store, vecs, w, q = store_and_data
+        vals, idx, cert = map(
+            np.asarray, search(store, q, k=10, scan="xla", interpret=True)
+        )
+        evals, eidx = brute(q, vecs, w, 10)
+        assert np.array_equal(idx, eidx)
+        np.testing.assert_allclose(vals, evals, rtol=1e-5, atol=1e-6)
+        assert cert.all()
+
+    def test_xla_high_scan_exact_values_widened_cert(self, store_and_data):
+        """scan="xla_high": pass-2 values stay EXACT fp32 (only the chunk
+        bound carries scan rounding); certified results must match brute
+        force."""
+        store, vecs, w, q = store_and_data
+        vals, idx, cert = map(
+            np.asarray,
+            search(store, q, k=10, scan="xla_high", interpret=True),
+        )
+        evals, eidx = brute(q, vecs, w, 10)
+        for row in range(q.shape[0]):
+            if cert[row]:
+                assert np.array_equal(idx[row], eidx[row])
+                np.testing.assert_allclose(
+                    vals[row], evals[row], rtol=1e-5, atol=1e-6
+                )
+        assert cert.mean() >= 0.9  # random data certifies essentially always
+
     def test_tiny_mc_decertifies_not_wrong(self, store_and_data):
         """With mc too small to cover the true top-k spread the result may
         be incomplete — but then certified MUST be False for that query
