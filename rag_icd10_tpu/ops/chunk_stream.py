@@ -108,20 +108,32 @@ def chunk_maxima_transposed(
 # --------------------------------------------------------------- pass 2
 
 
-def _make_rescore_kernel(mc: int, d: int):
-    """Fused block gather + per-chunk matvec.
+QB = 8  # queries per grid step: the fp32 sublane tile, so every VMEM
+# block is Mosaic-legal (a (1, d) query block over a (B, d) array violates
+# the divisible-by-8-or-full sublane rule for B > 1 — the round-3 version
+# failed Mosaic lowering on hardware for exactly that reason)
 
-    grid (B,): for query b, DMA each selected chunk's 128 fp32 rows from
-    HBM (double-buffered) and dot with the query row. mc is unrolled so
-    every store lands at a static lane offset (dynamic lane stores are
-    slow on Mosaic)."""
+
+def _make_rescore_kernel(mc: int, d: int):
+    """Fused block gather + exact re-score, QB queries per grid step.
+
+    grid (B/QB,): for each of the step's QB queries, DMA its selected
+    chunks' 128 fp32 rows from HBM (double-buffered across the flattened
+    (chunk, query) loop) and re-score at fp32 HIGHEST. The dot is
+    (QB, d) x (d, 128) — identical MXU cycles to the (1, d) matvec it
+    replaces (the MXU pads sublanes to 8 anyway), and only query j's row
+    is kept via a one-hot mask so every o_ref store is a full-sublane
+    (QB, 128) aligned block (unaligned/dynamic sublane stores are slow
+    on Mosaic)."""
 
     def kernel(ids_ref, q_ref, corpus_hbm, o_ref):
-        bq = pl.program_id(0)
+        step = pl.program_id(0)
+        total = mc * QB
 
         def body(scratch, sem):
-            def start_dma(i, slot):
-                row0 = ids_ref[bq, i] * 128
+            def start_dma(t, slot):
+                i, j = divmod(t, QB)  # chunk-rank i of query j
+                row0 = ids_ref[step * QB + j, i] * 128
                 return pltpu.make_async_copy(
                     corpus_hbm.at[pl.ds(row0, 128), :],
                     scratch.at[slot],
@@ -130,17 +142,24 @@ def _make_rescore_kernel(mc: int, d: int):
 
             start_dma(0, 0).start()
             for i in range(mc):
-                slot = i % 2
-                if i + 1 < mc:
-                    start_dma(i + 1, (i + 1) % 2).start()
-                start_dma(i, slot).wait()
-                s = jax.lax.dot_general(
-                    q_ref[:], scratch[slot],
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )  # (1, 128)
-                o_ref[:, i * 128:(i + 1) * 128] = s
+                acc = jnp.zeros((QB, 128), jnp.float32)
+                for j in range(QB):
+                    t = i * QB + j
+                    slot = t & 1
+                    if t + 1 < total:
+                        start_dma(t + 1, (t + 1) & 1).start()
+                    start_dma(t, slot).wait()
+                    s = jax.lax.dot_general(
+                        q_ref[:], scratch[slot],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )  # (QB, 128): row j is query j vs ITS chunk i
+                    onehot = jax.lax.broadcasted_iota(
+                        jnp.int32, (QB, 1), 0
+                    ) == j
+                    acc = acc + jnp.where(onehot, s, 0.0)
+                o_ref[:, i * 128:(i + 1) * 128] = acc
 
         pl.run_scoped(
             body,
@@ -152,7 +171,7 @@ def _make_rescore_kernel(mc: int, d: int):
 
 
 def gather_rescore(
-    queries: jnp.ndarray,  # (B, D) fp32
+    queries: jnp.ndarray,  # (B, D) fp32, B % QB == 0
     corpus: jnp.ndarray,  # (N, D) fp32 (raw rows, NOT weight-folded)
     chunk_ids: jnp.ndarray,  # (B, mc) int32
     mc: int,
@@ -160,23 +179,24 @@ def gather_rescore(
 ) -> jnp.ndarray:
     """(B, mc*128) fp32 HIGHEST raw scores of the selected chunks' rows."""
     b, d = queries.shape
+    assert b % QB == 0, (b, QB)
 
     return pl.pallas_call(
         _make_rescore_kernel(mc, d),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
+            grid=(b // QB,),
             in_specs=[
-                pl.BlockSpec((1, d), lambda i, ids: (i, 0),
+                pl.BlockSpec((QB, d), lambda i, ids: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM
             ],
-            out_specs=pl.BlockSpec((1, mc * 128), lambda i, ids: (i, 0),
+            out_specs=pl.BlockSpec((QB, mc * 128), lambda i, ids: (i, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, mc * 128), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * mc * 128 * d,
+            flops=2 * b * QB * mc * 128 * d,
             bytes_accessed=b * mc * 128 * d * 4,
             transcendentals=0,
         ),
@@ -302,7 +322,15 @@ def chunk_stream_search(
         cm = jnp.where(col < nc_real, cm, -jnp.inf)
     cvals, cidx = jax.lax.top_k(cm, mc)
 
-    raw = gather_rescore(queries, corpus, cidx, mc, interpret=interpret)
+    # pass 2 processes QB queries per grid step; pad B up (padding rows
+    # gather chunk 0 — valid DMAs, results sliced away)
+    b_pad = _cdiv(b, QB) * QB
+    if b_pad != b:
+        q2 = jnp.pad(queries.astype(jnp.float32), ((0, b_pad - b), (0, 0)))
+        cidx2 = jnp.pad(cidx, ((0, b_pad - b), (0, 0)))
+    else:
+        q2, cidx2 = queries, cidx
+    raw = gather_rescore(q2, corpus, cidx2, mc, interpret=interpret)[:b]
     wb = jnp.take(weights.reshape(nc, 128), cidx, axis=0).reshape(b, mc * 128)
     mb = jnp.take(mask.reshape(nc, 128), cidx, axis=0).reshape(b, mc * 128)
     scores = raw * wb + mb
