@@ -263,11 +263,21 @@ class APIServer:
             ef = body.get("ef_search")
             if vectors.ndim != 2 or not (1 <= top_k <= 512):
                 raise ValueError("vectors must be (B, D); 1 <= top_k <= 512")
+            # unauthenticated endpoint on the shared store host: an
+            # unbounded B would be padded up and drive an O(B_pad x N)
+            # device scan (memory blowup) that stalls every /query client
+            max_b = self.config.api.max_batch * 4
+            if vectors.shape[0] > max_b:
+                raise ValueError(f"batch too large (max {max_b})")
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             return error_response(f"请求无效: {e}", 400)
         store = self.engine.store
         if store is None or not store.num_entities:
             return error_response("向量库未就绪", 503)
+        if vectors.shape[1] != store.dim:
+            return error_response(
+                f"vectors must be (B, {store.dim})", 400
+            )
         try:
             rows = await self._run_on_device_thread(
                 lambda: store.search(
@@ -290,11 +300,26 @@ class APIServer:
             body = await request.json()
             qv = np.asarray(body["query_vectors"], dtype=np.float32)
             ids = np.asarray(body["candidate_ids"], dtype=np.int64)
+            max_b = self.config.api.max_batch * 4
+            if qv.ndim != 2 or qv.shape[0] > max_b:
+                raise ValueError(
+                    f"query_vectors must be (B, D) with B <= {max_b}"
+                )
+            if ids.ndim != 2 or ids.shape[0] != qv.shape[0] \
+                    or ids.size > 64 * 1024:
+                raise ValueError(
+                    "candidate_ids must be (B, K), B matching "
+                    "query_vectors, <= 65536 ids total"
+                )
         except (KeyError, ValueError, TypeError, json.JSONDecodeError) as e:
             return error_response(f"请求无效: {e}", 400)
         store = self.engine.store
         if store is None or not store.num_entities:
             return error_response("向量库未就绪", 503)
+        if qv.shape[1] != store.dim:
+            return error_response(
+                f"query_vectors must be (B, {store.dim})", 400
+            )
         # bounds-check BEFORE fancy indexing: a negative id would wrap to
         # the end of the matrix and return a plausible-but-wrong value
         if ids.size and (

@@ -32,13 +32,16 @@ n's host rescoring overlaps batch n+1's device work. The HEAVY device
 programs (encoder forward + fused search) still run on the single
 device thread (jit-cache friendly, strictly serialized); only the host
 stages move to a separate 2-thread pool, so steady-state throughput
-approaches max(device, host) per batch instead of their sum. One
-documented exception: enhanced extraction may issue a small
-boundary-embedding encode (pipeline/enhanced.py) from the host pool
-concurrently with the in-flight batch's scan — JAX dispatch is
-thread-safe and XLA serializes on-device, so this costs at most minor
-queueing jitter, not correctness. The reference processes each request
-fully sequentially.
+approaches max(device, host) per batch instead of their sum. Two
+documented exceptions issue device work from the host pool concurrently
+with the in-flight batch's scan: enhanced extraction's small
+boundary-embedding encode (pipeline/enhanced.py), and the rescore
+stage's semantic-coherence gather (pipeline/confidence.py
+_semantic_coherence -> store.semantic_similarities / encoder per
+candidate). JAX dispatch is thread-safe and XLA serializes on-device,
+so both cost at most device-queue contention (per-candidate for the
+coherence gather), not correctness. The reference processes each
+request fully sequentially.
 """
 
 from __future__ import annotations

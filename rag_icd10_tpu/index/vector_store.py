@@ -123,6 +123,7 @@ class VectorStore:
         self._semantic_vectors: Optional[np.ndarray] = None
         self._hnsw = None  # native graph index (index_type == "HNSW")
         self._bound_scale = None  # w_max * max row norm (method="fast")
+        self._max_row_norm = None  # unweighted max row norm (bf16 bound)
         self._loaded = False
         self._searches = 0
         self._created_at = time.time()
@@ -196,6 +197,7 @@ class VectorStore:
         # fast-path bound is recomputed over the appended rows
         self._hnsw = None
         self._bound_scale = None
+        self._max_row_norm = None
         return len(records)
 
     # ----------------------------------------------------------- lifecycle
@@ -248,9 +250,11 @@ class VectorStore:
         # certificate scale for the "fast" (chunk-select) method:
         # w_max * max row norm bounds any row's scan-error contribution
         norms_sq = np.einsum("nd,nd->n", self._vectors, self._vectors)
+        self._max_row_norm = (
+            float(np.sqrt(float(np.max(norms_sq)))) if norms_sq.size else 1.0
+        )
         self._bound_scale = float(
-            (np.max(weights) if weights.size else 1.0)
-            * np.sqrt(float(np.max(norms_sq))) if norms_sq.size else 1.0
+            (np.max(weights) if weights.size else 1.0) * self._max_row_norm
         )
         if self.config.device_dtype == "int8":
             # symmetric per-row quantization: 4x less HBM than fp32
@@ -565,9 +569,13 @@ class VectorStore:
             from ..ops.rerank import EPS_BF16_DOT
 
             q_norms = np.linalg.norm(q, axis=1)
+            # unweighted max row norm (NOT _bound_scale/max_w: _bound_scale
+            # folds the max PER-ROW weight present, which can be below the
+            # config max_w, and dividing by max_w would then underestimate
+            # the true max row norm and unsound the widened bound)
             c_norm_max = (
-                float(self._bound_scale / max_w)
-                if self._bound_scale
+                self._max_row_norm
+                if getattr(self, "_max_row_norm", None)
                 else float(np.linalg.norm(self._vectors, axis=1).max())
             )
             eps_rows = (EPS_BF16_DOT * c_norm_max) * q_norms  # (B,)

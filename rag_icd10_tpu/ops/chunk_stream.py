@@ -19,11 +19,24 @@ Two passes, both Pallas:
    block DMAs run near HBM bandwidth) and re-scored at fp32 HIGHEST.
 
 Exactness is certified per query (streaming_chunk_topk's argument,
-ops/pallas_score.py): with an exact (HIGHEST) pass 1 there is NO epsilon —
-every row in an unfetched chunk is bounded by the mc-th chunk max; padding
-rows score 0 in pass 1 (weight-folded zeros), which only OVERestimates a
+ops/pallas_score.py): every row in an unfetched chunk is bounded by the
+mc-th chunk max plus a scan-dependent rounding epsilon; padding rows
+score 0 in pass 1 (weight-folded zeros), which only OVERestimates a
 partially-padded chunk's bound (sound) and fully-padded chunks are masked
-post-hoc.
+post-hoc. Even the fp32 HIGHEST scans carry a (tiny) epsilon: pass 1
+scores fold weights into the corpus rows (fp32_dot(q, w*c)) while pass 2
+computes fp32_dot(q, c)*w — the two roundings can differ by ~d*2^-24
+ulp-scale error on duplicate-grade ties, so the bound widens by
+EPS_FP32_DOT*bound_scale*||q|| rather than claiming bit-exact zero.
+
+Reduced-precision pass-1 scans ("bf16", "int8") store the transposed
+corpus at 2x/4x less HBM and widen the certificate by the EXACT
+build-time quantization residual (Cauchy-Schwarz:
+|dot(q, c_hat - c)| <= ||q|| * max_row ||c_hat - c||, measured per build,
+no modeling assumptions) plus the query-cast term. Pass-2 re-scoring is
+always fp32 HIGHEST over raw fp32 rows, so scan rounding only ever
+affects the chunk BOUND and chunk SELECTION — certified results are
+exact regardless of scan dtype.
 """
 
 from __future__ import annotations
@@ -207,15 +220,29 @@ def gather_rescore(
 # ---------------------------------------------------------------- state
 
 
+# fp32 HIGHEST dot rounding gap between pass 1 (weight-folded rows) and
+# pass 2 (raw-dot x weight): both are fp32 roundings of the same real
+# value; d*2^-24 sequential-accumulation worst case at d<=768 is ~4.6e-5,
+# doubled for the two conventions
+EPS_FP32_DOT = 1e-4
+# worst-case relative l2 error of casting the query to bf16 (per-element
+# half-ulp 2^-9, with margin)
+EPS_BF16_VEC = 2.0 ** -8
+
+
 @dataclass
 class ChunkStore:
     """Device state for the streaming chunk-select path.
 
-    corpus_t: (D, N_pad) fp32, weight-folded and transposed (pass 1)
-    corpus:   (N_pad, D) fp32 raw rows (pass 2 re-score)
+    corpus_t: (D, N_pad) weight-folded transposed corpus (pass 1) in
+              scan_dtype: fp32, bf16 (2x less HBM) or int8 (4x; per-row
+              scales in ``scales``)
+    corpus:   (N_pad, D) fp32 raw rows (pass 2 exact re-score)
     weights / mask: (N_pad,) fp32 (pass-2 epilogue + padding)
     bound_scale: max ‖w_i·c_i‖ over folded rows — the certificate scale
-    for reduced-precision pass-1 scans (scan="xla_high")
+    resid_max: max over rows of ‖fold_i − dequant(quant(fold_i))‖₂,
+    measured EXACTLY at build — the Cauchy-Schwarz certificate term for
+    reduced-precision scans
     """
 
     corpus_t: jnp.ndarray
@@ -225,6 +252,9 @@ class ChunkStore:
     n_real: int
     tile_n: int
     bound_scale: float = 1.2
+    scan_dtype: str = "fp32"
+    scales: Optional[jnp.ndarray] = None  # (N_pad,) fp32, int8 only
+    resid_max: float = 0.0
 
     @classmethod
     def build(
@@ -233,9 +263,11 @@ class ChunkStore:
         weights: np.ndarray,
         batch_hint: int = 64,
         tile_cap: int = 2048,
+        scan_dtype: str = "fp32",
     ) -> "ChunkStore":
         from .flat_topk import pad_corpus
 
+        assert scan_dtype in ("fp32", "bf16", "int8"), scan_dtype
         cp, wp, mask = pad_corpus(
             np.asarray(vectors, np.float32), np.asarray(weights, np.float32),
             multiple=tile_cap,
@@ -243,16 +275,47 @@ class ChunkStore:
         n = cp.shape[0]
         tile_n = transposed_tile_n(batch_hint, n, cp.shape[1], cap=tile_cap)
         folded = cp * wp[:, None]
-        ct = folded.T.copy()
         bscale = float(np.linalg.norm(folded, axis=1).max()) or 1.0
+        scales = None
+        resid_max = 0.0
+        if scan_dtype == "bf16":
+            import jax.numpy as _jnp
+
+            ct_store = np.asarray(
+                _jnp.asarray(folded.T.copy()).astype(_jnp.bfloat16)
+            )
+            deq = np.asarray(
+                _jnp.asarray(ct_store).astype(_jnp.float32)
+            ).T
+            resid_max = float(
+                np.linalg.norm(folded - deq, axis=1).max()
+            )
+            ct_dev = jax.device_put(ct_store)
+        elif scan_dtype == "int8":
+            s = np.abs(folded).max(axis=1) / 127.0
+            s[s == 0.0] = 1.0
+            q8 = np.clip(
+                np.rint(folded / s[:, None]), -127, 127
+            ).astype(np.int8)
+            resid_max = float(
+                np.linalg.norm(folded - q8.astype(np.float32) * s[:, None],
+                               axis=1).max()
+            )
+            ct_dev = jax.device_put(q8.T.copy())
+            scales = jax.device_put(s.astype(np.float32))
+        else:
+            ct_dev = jax.device_put(folded.T.copy())
         return cls(
-            corpus_t=jax.device_put(ct),
+            corpus_t=ct_dev,
             corpus=jax.device_put(cp),
             weights=jax.device_put(wp),
             mask=jax.device_put(mask),
             n_real=int(vectors.shape[0]),
             tile_n=tile_n,
             bound_scale=bscale,
+            scan_dtype=scan_dtype,
+            scales=scales,
+            resid_max=resid_max,
         )
 
 
@@ -270,6 +333,8 @@ def chunk_stream_search(
     n_real: int = 0,
     scan: str = "pallas",
     bound_scale: float = 1.2,
+    scales: Optional[jnp.ndarray] = None,
+    resid_max: float = 0.0,
     guarantee: bool = False,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
@@ -278,18 +343,24 @@ def chunk_stream_search(
 
     scan — how pass 1 computes the chunk maxima:
       "pallas"   — the streaming Pallas kernel, fp32 HIGHEST: (B, N)
-                   provably never reaches HBM; zero-epsilon certificate.
+                   provably never reaches HBM; EPS_FP32_DOT certificate.
       "xla"      — plain XLA dot at HIGHEST + fused chunk-max: XLA may
                    or may not materialize (B, N) (it tiles the matmul
                    itself and fuses reductions where it can) but avoids
                    Pallas' measured ~12 µs/grid-step cost on this
-                   platform; zero-epsilon certificate.
+                   platform; EPS_FP32_DOT certificate.
       "xla_high" — XLA bf16x3 dot (3 MXU passes instead of 6); the
-                   certificate widens by EPS_HIGH_DOT·bound_scale·‖q‖
-                   (pass-2 re-scoring stays exact fp32 HIGHEST, so only
-                   the chunk BOUND carries scan rounding).
+                   certificate widens by EPS_HIGH_DOT·bound_scale·‖q‖.
+      "bf16"     — corpus_t stored bf16 (2x less pass-1 HBM traffic),
+                   single-pass MXU dot; certificate widens by the exact
+                   build-time residual ‖fold−bf16(fold)‖ (resid_max)
+                   plus the query-cast term.
+      "int8"     — corpus_t stored int8 + per-row scales (4x less pass-1
+                   HBM traffic); same measured-residual certificate.
+    Pass-2 re-scoring is fp32 HIGHEST for every mode, so certified
+    results are exact regardless of scan dtype.
     """
-    assert scan in ("pallas", "xla", "xla_high"), scan
+    assert scan in ("pallas", "xla", "xla_high", "bf16", "int8"), scan
     b, d = queries.shape
     n = corpus.shape[0]
     nc = n // 128
@@ -304,6 +375,23 @@ def chunk_stream_search(
     if scan == "pallas":
         cm = chunk_maxima_transposed(queries, corpus_t, tile_n,
                                      interpret=interpret)  # (B, nc)
+    elif scan == "bf16":
+        assert corpus_t.dtype == jnp.bfloat16, corpus_t.dtype
+        s = jnp.dot(
+            queries.astype(jnp.bfloat16), corpus_t,
+            preferred_element_type=jnp.float32,
+        )
+        cm = jnp.max(s.reshape(b, nc, 128), axis=2)
+    elif scan == "int8":
+        assert corpus_t.dtype == jnp.int8, corpus_t.dtype
+        assert scales is not None
+        # int8 -> bf16 is exact for |v| <= 127; the fp32-accumulated MXU
+        # dot then carries only the build-time quantization residual
+        s = jnp.dot(
+            queries.astype(jnp.bfloat16), corpus_t.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        ) * scales[None, :]
+        cm = jnp.max(s.reshape(b, nc, 128), axis=2)
     else:
         precision = (
             jax.lax.Precision.HIGHEST if scan == "xla"
@@ -341,17 +429,26 @@ def chunk_stream_search(
         + jax.lax.broadcasted_iota(jnp.int32, (b, mc, 128), 2)
     ).reshape(b, mc * 128)
     idx = jnp.take_along_axis(cols, sel, axis=1).astype(jnp.int32)
-    chunk_bound = cvals[:, mc - 1]
+    # an unfetched row's TRUE weighted score can exceed its measured
+    # chunk max by the scan rounding; pass-2 values are exact, so ONE
+    # epsilon per scan mode suffices
+    q_norms = jnp.sqrt(
+        jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
+    )
     if scan == "xla_high":
-        # an unfetched row's TRUE weighted score can exceed its HIGH
-        # chunk max by the scan rounding; pass-2 values are exact, so
-        # ONE epsilon suffices
         from .rerank import EPS_HIGH_DOT
 
-        q_norms = jnp.sqrt(
-            jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
-        )
-        chunk_bound = chunk_bound + EPS_HIGH_DOT * bound_scale * q_norms
+        eps = EPS_HIGH_DOT * bound_scale * q_norms
+    elif scan in ("bf16", "int8"):
+        # Cauchy-Schwarz on the measured quantization residual, plus the
+        # query bf16-cast term and the fp32 accumulation gap
+        eps = (
+            resid_max + (EPS_BF16_VEC + EPS_FP32_DOT) * bound_scale
+        ) * q_norms
+    else:
+        # fold-vs-multiply fp32 rounding gap (see module docstring)
+        eps = EPS_FP32_DOT * bound_scale * q_norms
+    chunk_bound = cvals[:, mc - 1] + eps
     certified = vals[:, k - 1] >= chunk_bound
 
     if not guarantee:
@@ -374,12 +471,17 @@ def chunk_stream_search(
 
 
 def search(store: ChunkStore, queries, k: int, mc: int = 0,
-           scan: str = "pallas", guarantee: bool = False,
+           scan: Optional[str] = None, guarantee: bool = False,
            interpret: bool = False):
-    """Convenience wrapper binding a ChunkStore's device state."""
+    """Convenience wrapper binding a ChunkStore's device state. scan
+    defaults to the store's residency dtype ("fp32" residency -> the
+    Pallas scan)."""
+    if scan is None:
+        scan = "pallas" if store.scan_dtype == "fp32" else store.scan_dtype
     return chunk_stream_search(
         jnp.asarray(queries, jnp.float32), store.corpus_t, store.corpus,
         store.weights, store.mask, k=k, mc=mc, tile_n=store.tile_n,
         n_real=store.n_real, scan=scan, bound_scale=store.bound_scale,
+        scales=store.scales, resid_max=store.resid_max,
         guarantee=guarantee, interpret=interpret,
     )

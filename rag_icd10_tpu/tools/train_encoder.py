@@ -207,8 +207,23 @@ def main(argv=None) -> int:
     parser.add_argument("--save-every", type=int, default=2000,
                         help="checkpoint params every N steps (0 = end only)")
     parser.add_argument(
+        "--keep-every", type=int, default=4000,
+        help="retain a tagged copy params_step{N}.npz every N steps so a "
+        "regression can be bisected post-hoc (round-3 lesson: the rolling "
+        "checkpoint alone cannot tell 6k steps from 48k)",
+    )
+    parser.add_argument(
         "--plain-pairs", action="store_true",
         help="legacy objective: unmasked pairs, no hard negatives",
+    )
+    parser.add_argument(
+        "--eval-gate", default=None, metavar="BASELINE",
+        help="after training, embed the corpus with the new weights, run "
+        "the tiered retrieval eval (raw + pipeline) in-process, and only "
+        "BLESS the weights if paraphrase pipeline top-1 >= BASELINE "
+        "(a float, or a path to an incumbent EVAL json to read the score "
+        "from). Writes <out>/eval_gate.json; exits 3 when below baseline "
+        "(weights stay on disk, marked blessed=false).",
     )
     args = parser.parse_args(argv)
 
@@ -275,6 +290,31 @@ def main(argv=None) -> int:
     )
     optimizer = optax.adamw(schedule, weight_decay=0.01)
     opt_state = optimizer.init(params)
+    start_step = 0
+    if args.init_from:
+        # a full resume restores the optimizer too: Adam moments AND the
+        # adamw step count that drives the cosine schedule — a params-only
+        # warm start restarts both, which bumped the loss 0.10 -> 0.19 on
+        # the round-3 wedge-resume and wasted the schedule tail
+        opt_path = Path(args.init_from).parent / "opt_state.npz"
+        if opt_path.exists():
+            flat = np.load(str(opt_path))
+            leaves, treedef = jax.tree_util.tree_flatten(opt_state)
+            saved = [flat[f"leaf_{i}"] for i in range(len(leaves))]
+            if len(saved) == len(leaves):
+                opt_state = jax.tree_util.tree_unflatten(treedef, saved)
+                start_step = int(flat["__step__"]) if "__step__" in flat.files else 0
+                logger.info(
+                    "restored optimizer state (step %d) from %s",
+                    start_step, opt_path,
+                )
+            else:
+                logger.warning(
+                    "opt_state.npz leaf count mismatch — fresh optimizer"
+                )
+        if start_step >= args.steps:
+            logger.info("checkpoint already at %d >= --steps %d; nothing "
+                        "to train", start_step, args.steps)
 
     if args.dp:
         from ..parallel.mesh import batch_sharding, make_mesh
@@ -301,18 +341,42 @@ def main(argv=None) -> int:
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
 
-    def save_checkpoint(params):
+    def save_checkpoint(params, opt_state=None, step=None):
         params_host = jax.device_get(params)
         save_params(params_host, str(out / "params.npz"))
         tok.save_vocab(str(out / "vocab.txt"))
+        if opt_state is not None and step is not None:
+            leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+            np.savez(
+                str(out / "opt_state.npz"),
+                __step__=np.int64(step),
+                **{f"leaf_{i}": np.asarray(v) for i, v in enumerate(leaves)},
+            )
+        if (step is not None and args.keep_every
+                and step % args.keep_every == 0):
+            import shutil
+
+            shutil.copyfile(
+                str(out / "params.npz"), str(out / f"params_step{step}.npz")
+            )
 
     rng = np.random.default_rng(args.seed)
     n_examples = len(pairs) if args.plain_pairs else len(examples)
     order = rng.permutation(n_examples)
     cursor = 0
+    # deterministic fast-forward of the data order on resume (the rng
+    # draws inside draw_batch differ run-to-run, but the epoch boundary
+    # accounting stays clean)
+    for _ in range(start_step):
+        if cursor + args.batch <= n_examples:
+            cursor += args.batch
+        else:
+            tail = n_examples - cursor
+            order = rng.permutation(n_examples)
+            cursor = args.batch - tail
     t0 = time.time()
-    losses = []
-    for step in range(args.steps):
+    losses = [float("nan")]
+    for step in range(start_step, args.steps):
         # epoch-clean cursor: consume the tail of the old permutation and
         # top up from a fresh one (no skipped tail / double-sampled head)
         if cursor + args.batch <= n_examples:
@@ -340,23 +404,95 @@ def main(argv=None) -> int:
             )
         params, opt_state, m = run_step(params, opt_state, batch)
         losses.append(float(m["loss"]))
-        if (step + 1) % args.log_every == 0 or step == 0:
-            rate = (step + 1) / (time.time() - t0)
+        if (step + 1) % args.log_every == 0 or step == start_step:
+            rate = (step + 1 - start_step) / (time.time() - t0)
             logger.info(
                 "step %d/%d loss=%.4f acc=%.3f (%.2f steps/s)",
                 step + 1, args.steps, float(m["loss"]),
                 float(m["accuracy"]), rate,
             )
         if args.save_every and (step + 1) % args.save_every == 0:
-            save_checkpoint(params)
+            save_checkpoint(params, opt_state, step + 1)
             logger.info("checkpoint saved at step %d -> %s", step + 1, out)
 
-    save_checkpoint(params)
+    save_checkpoint(params, opt_state, args.steps)
     logger.info("saved trained params -> %s/params.npz (final loss %.4f)",
                 out, float(np.mean(losses[-args.log_every:])))
     print(f"export EMBEDDING_WEIGHTS_PATH={out}/params.npz")
     print(f"export EMBEDDING_VOCAB_PATH={out}/vocab.txt")
+    if args.eval_gate is not None:
+        blessed = run_eval_gate(
+            params, tok, corpus, out, args.eval_gate, cfg
+        )
+        return 0 if blessed else 3
     return 0
+
+
+def run_eval_gate(params, tok, corpus, out: Path, baseline_arg: str,
+                  cfg) -> bool:
+    """Post-training quality gate (round-3 lesson: ~5 h of chip time
+    shipped an unevaluated regression because nothing forced an eval).
+
+    Embeds the corpus with the freshly trained weights, builds an
+    in-memory store + the full matcher, runs the tiered retrieval eval,
+    and compares paraphrase pipeline top-1 against the incumbent. The
+    result lands in <out>/eval_gate.json with a blessed flag; callers
+    (scripts/reproduce.sh) must not pair a store with unblessed weights.
+    """
+    import json
+
+    import jax
+
+    from ..config import NERConfig
+    from ..eval.retrieval import build_eval_set, evaluate
+    from ..index.vector_store import VectorStore
+    from ..models.encoder import TextEncoder
+    from ..pipeline.ner import MedicalNERService
+    from ..pipeline.orchestrator import MultiDiagnosisService
+    from ..pipeline.textproc import DiagnosisTextProcessor
+    from ..tools.build_database import embed_sorted
+
+    baseline = None
+    if baseline_arg:
+        try:
+            baseline = float(baseline_arg)
+        except ValueError:
+            with open(baseline_arg) as f:
+                incumbent = json.load(f)
+            baseline = float(
+                incumbent["tiers"]["paraphrase"]["pipeline_top1"]
+            )
+    logger.info("eval gate: embedding %d semantic texts with the trained "
+                "weights (baseline %.4f)", len(corpus), baseline or -1.0)
+    params_host = jax.device_get(params)
+    encoder = TextEncoder(cfg.encoder, tokenizer=tok, params=params_host)
+    vectors = embed_sorted(encoder, corpus.semantic_texts)
+    store = VectorStore(dim=encoder.dim, config=cfg.store)
+    store.insert_records(list(corpus.records()), vectors)
+    ner = MedicalNERService(NERConfig(use_model=False))
+    matcher = MultiDiagnosisService(
+        encoder=encoder, store=store, ner_service=ner,
+        text_processor=DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner),
+    )
+    tiers = build_eval_set(corpus)
+    report = evaluate(encoder, store, matcher=matcher, tiers=tiers)
+    para = float(report["tiers"]["paraphrase"]["pipeline_top1"])
+    blessed = baseline is None or para >= baseline
+    gate = {
+        "tiers": report["tiers"],
+        "gate_metric": "paraphrase.pipeline_top1",
+        "candidate": para,
+        "baseline": baseline,
+        "blessed": blessed,
+    }
+    with open(out / "eval_gate.json", "w") as f:
+        json.dump(gate, f, ensure_ascii=False, indent=1)
+    logger.info(
+        "eval gate: paraphrase pipeline top-1 %.4f vs baseline %s -> %s",
+        para, baseline, "BLESSED" if blessed else "REJECTED",
+    )
+    return blessed
 
 
 if __name__ == "__main__":

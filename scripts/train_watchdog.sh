@@ -1,0 +1,64 @@
+#!/bin/bash
+# Wedge-resilient encoder training (the axon tunnel silently wedges:
+# round 3 lost a 48k-step run to exactly this — the run died at 6k and
+# every naive resume wedged again within minutes).
+#
+#   scripts/train_watchdog.sh OUT_DIR TOTAL_STEPS [extra train args...]
+#
+# Runs tools/train_encoder with --save-every checkpoints, watches the log
+# for silence (no new step line), kills a wedged run and resumes from the
+# rolling checkpoint. Resumes restore the optimizer (opt_state.npz), so
+# the cosine schedule and Adam moments continue where they stopped.
+set -u
+OUT=${1:?out dir}; shift
+STEPS=${1:?total steps}; shift
+LOG=${TRAIN_LOG:-/tmp/train_watchdog.log}
+FIRST_STEP_GRACE=${FIRST_STEP_GRACE:-900}   # compile+data build can take ~8 min
+SILENCE_LIMIT=${SILENCE_LIMIT:-480}         # mid-run: 8 min without a step line
+MAX_ATTEMPTS=${MAX_ATTEMPTS:-12}
+
+attempt=0
+while [ $attempt -lt $MAX_ATTEMPTS ]; do
+  attempt=$((attempt + 1))
+  resume=()
+  if [ -f "$OUT/params.npz" ] && [ -f "$OUT/opt_state.npz" ]; then
+    resume=(--init-from "$OUT/params.npz")
+  fi
+  echo "=== attempt $attempt: target $STEPS steps ${resume[*]:-(fresh)} $(date +%H:%M:%S)" | tee -a "$LOG"
+  python -m rag_icd10_tpu.tools.train_encoder \
+    --steps "$STEPS" --out "$OUT" "${resume[@]}" "$@" >> "$LOG" 2>&1 &
+  pid=$!
+  echo $pid > /tmp/train_watchdog.pid
+  started=$(date +%s)
+  last_size=$(stat -c %s "$LOG")
+  last_change=$started
+  wedged=0
+  while kill -0 $pid 2>/dev/null; do
+    sleep 30
+    now=$(date +%s)
+    size=$(stat -c %s "$LOG")
+    if [ "$size" != "$last_size" ]; then
+      last_size=$size
+      last_change=$now
+    else
+      silent=$((now - last_change))
+      limit=$SILENCE_LIMIT
+      grep -q "step .*/" "$LOG" || limit=$FIRST_STEP_GRACE
+      if [ $silent -gt $limit ]; then
+        echo "=== WEDGE: $silent s silent, killing $pid $(date +%H:%M:%S)" | tee -a "$LOG"
+        kill -9 $pid 2>/dev/null
+        wedged=1
+        break
+      fi
+    fi
+  done
+  wait $pid 2>/dev/null
+  rc=$?
+  if [ $wedged -eq 0 ]; then
+    echo "=== train exited rc=$rc $(date +%H:%M:%S)" | tee -a "$LOG"
+    exit $rc
+  fi
+  sleep 5
+done
+echo "=== giving up after $MAX_ATTEMPTS attempts" | tee -a "$LOG"
+exit 1
