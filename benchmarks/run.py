@@ -351,13 +351,155 @@ def config6_streaming_topk(cfg, corpus, vectors, weights) -> Dict:
         return res
 
     out = {"real_40k_b16_k16": bench_pair(vectors, weights, b=16, k=16)}
-    # synthetic 1M-row corpus: scores (64, 1M) = 256 MB/scan materialized
-    rng = np.random.default_rng(7)
-    big = rng.standard_normal((1_048_576, 256)).astype(np.float32)
-    big /= np.linalg.norm(big, axis=1, keepdims=True)
-    wbig = rng.choice([0.8, 1.0, 1.2], big.shape[0]).astype(np.float32)
-    out["synthetic_1M_d256_b64_k16"] = bench_pair(big, wbig, b=64, k=16, iters=5)
+    out["synthetic_1M_d256_b64_k16"] = _config6_synthetic_1m()
     return out
+
+
+def _config6_synthetic_1m(b: int = 64, k: int = 16, iters: int = 20) -> Dict:
+    """1M x 256 scaling regime, generated ON DEVICE — the tunnel makes a
+    ~2 GB host->device corpus transfer slower than the whole bench, and
+    closure-captured device arrays become lowering constants the axon
+    remote-compile rejects, so every array is a jit ARGUMENT.
+
+    Corpus geometry is clustered (1024 unit centers, sigma=0.5 noise,
+    rows renormalized): i.i.d. gaussian rows make the top-k score
+    spacing at N=1M degenerate (~1e-3 between the 16th and 32nd order
+    statistic), which no bounded-precision scan could certify and which
+    no real embedding corpus exhibits. Queries are drawn from the same
+    mixture. Exactness per mode is checked against the materialized fp32
+    HIGHEST scan's top-k on identical device data."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_icd10_tpu.ops.chunk_stream import (
+        build_device,
+        chunk_stream_search,
+    )
+    from rag_icd10_tpu.ops.pallas_score import (
+        default_tile_n,
+        fused_weighted_scores,
+        streaming_tile_n,
+        streaming_topk,
+    )
+
+    N, D, NCL = 1_048_576, 256, 1024
+
+    @jax.jit
+    def gen(key):
+        kc, ka, kn, kw, kq, kqa = jax.random.split(key, 6)
+        centers = jax.random.normal(kc, (NCL, D), jnp.float32)
+        centers = centers / jnp.linalg.norm(centers, axis=1, keepdims=True)
+        assign = jax.random.randint(ka, (N,), 0, NCL)
+        v = centers[assign] + (
+            0.5 * jax.random.normal(kn, (N, D), jnp.float32) / jnp.sqrt(D)
+        )
+        v = v / jnp.linalg.norm(v, axis=1, keepdims=True)
+        w = jnp.take(
+            jnp.array([0.8, 1.0, 1.2], jnp.float32),
+            jax.random.randint(kw, (N,), 0, 3),
+        )
+        qa = jax.random.randint(kqa, (b,), 0, NCL)
+        q = centers[qa] + (
+            0.5 * jax.random.normal(kq, (b, D), jnp.float32) / jnp.sqrt(D)
+        )
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        return v, w, q
+
+    v, w, qd = jax.block_until_ready(gen(jax.random.PRNGKey(6)))
+    stores = {
+        s: build_device(v, w, batch_hint=b, scan_dtype=s)
+        for s in ("fp32", "bf16", "int8")
+    }
+    st = stores["fp32"]
+    cd, wd, md = st.corpus, st.weights, st.mask
+    n = int(cd.shape[0])
+    st_tile = streaming_tile_n(b, n, 4, dim=D, k=k)
+    mat_tile = default_tile_n(b, n, 4, dim=D)
+
+    @partial(jax.jit, static_argnames=("kind", "scan", "mc", "tile_n",
+                                       "iters"))
+    def chained(q, c, wts, mk, ct, sc, bscale, resid,
+                kind="materialized", scan="pallas", mc=0, tile_n=0,
+                iters=iters):
+        def body(carry, _):
+            qq = q + carry[:, :1] * 1e-6
+            if kind == "stream":
+                vals, _ = streaming_topk(qq, c, wts, mk, k=k, tile_n=st_tile)
+            elif kind == "chunkstream":
+                vals, _, _ = chunk_stream_search(
+                    qq, ct, c, wts, mk, k=k, mc=mc,
+                    tile_n=tile_n, n_real=st.n_real, scan=scan,
+                    bound_scale=bscale, scales=sc, resid_max=resid,
+                )
+            else:
+                s = fused_weighted_scores(qq, c, wts, mk, tile_n=mat_tile)
+                vals = jax.lax.top_k(s, k)[0]
+            return vals, ()
+        out, _ = jax.lax.scan(
+            body, jnp.zeros((q.shape[0], k), jnp.float32),
+            jnp.arange(iters),
+        )
+        return out
+
+    @jax.jit
+    def mat_topk(q, c, wts, mk):
+        s = fused_weighted_scores(q, c, wts, mk, tile_n=mat_tile)
+        return jax.lax.top_k(s, k)
+
+    mv, mi = jax.block_until_ready(mat_topk(qd, cd, wd, md))
+    mv, mi = np.asarray(mv), np.asarray(mi)
+
+    fp32_bytes = n * D * 4
+    scan_bytes = {"fp32": fp32_bytes, "bf16": fp32_bytes // 2,
+                  "int8": fp32_bytes // 4}
+    res: Dict = {"n_rows": n, "corpus": "clustered_1024c_sigma0.5"}
+    # (label, kind, scan, store dtype): the pallas pass-1 kernel adapts
+    # to the stored dtype (fp32 HIGHEST / bf16 / int8+scales); the xla
+    # spellings are the A/B control
+    modes = [
+        ("materialized", "materialized", "", "fp32"),
+        ("stream", "stream", "", "fp32"),
+        ("chunkstream:pallas", "chunkstream", "pallas", "fp32"),
+        ("chunkstream:xla", "chunkstream", "xla", "fp32"),
+        ("chunkstream:pallas:bf16", "chunkstream", "pallas", "bf16"),
+        ("chunkstream:xla:bf16", "chunkstream", "xla", "bf16"),
+        ("chunkstream:pallas:int8", "chunkstream", "pallas", "int8"),
+        ("chunkstream:xla:int8", "chunkstream", "xla", "int8"),
+    ]
+    mat_ms = None
+    for label, kind, scan, skey in modes:
+        s = stores[skey]
+        sc = stores["int8"].scales
+        bscale = jnp.float32(s.bound_scale)
+        resid = jnp.float32(s.resid_max)
+        args = (qd, cd, wd, md, s.corpus_t, sc, bscale, resid)
+        kw = dict(kind=kind, scan=scan or "pallas", mc=0, tile_n=s.tile_n)
+        np.asarray(chained(*args, **kw))  # compile
+        t0 = time.time()
+        np.asarray(chained(*args, **kw))
+        dt = (time.time() - t0) / iters
+        row = {
+            "scan_ms": round(dt * 1000, 3),
+            "effective_gb_per_s": round(fp32_bytes / dt / 1e9, 1),
+            "hbm_read_gb_per_s": round(scan_bytes[skey] / dt / 1e9, 1),
+        }
+        if kind == "materialized":
+            mat_ms = dt * 1000
+        elif mat_ms:
+            row["speedup_vs_materialized"] = round(mat_ms / (dt * 1000), 2)
+        if kind == "chunkstream":
+            cv, ci, cert = chunk_stream_search(
+                qd, s.corpus_t, cd, wd, md, k=k, mc=0,
+                tile_n=s.tile_n, n_real=st.n_real, scan=scan,
+                bound_scale=bscale, scales=sc, resid_max=resid,
+            )
+            row["exact_match"] = bool(
+                np.array_equal(np.asarray(ci), mi)
+                and np.allclose(np.asarray(cv), mv, rtol=1e-5)
+            )
+            row["cert_fraction"] = float(np.asarray(cert).mean())
+        res[label] = row
+    return res
 
 
 def config7_int8_4m(cfg, corpus, vectors, weights) -> Dict:

@@ -133,8 +133,12 @@ class StoreConfig:
     # (lax.approx_max_k — ~4x faster selection at recall ~1.0 for k<=16),
     # "fast" (certified chunk-select over a bf16x3 scan — ~1.5x "exact"
     # at batch 256; uncertified batches redo exactly, ops/rerank.py),
-    # or "streaming" (exact in-kernel top-k, k<=128: the (B, N) score
-    # matrix never reaches HBM — the huge-corpus path)
+    # "streaming" (exact in-kernel top-k, k<=128: the (B, N) score
+    # matrix never reaches HBM), or "chunkstream" (streaming
+    # chunk-select v2, ops/chunk_stream.py — the huge-corpus path:
+    # certified chunk selection over a CHUNKSTREAM_SCAN-dtype pass 1 +
+    # exact fp32 block re-score; measured ≥2x the materialized scan at
+    # 1M rows)
     search_method: str = field(
         default_factory=lambda: _env("SEARCH_METHOD", "exact")
     )
@@ -144,6 +148,14 @@ class StoreConfig:
     # recall@10 >= 0.99 — ops/quantized.py)
     device_dtype: str = field(
         default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
+    )
+    # pass-1 scan mode for the "chunkstream" search method
+    # (ops/chunk_stream.py): "xla" (fp32 HIGHEST dot + fused chunk-max —
+    # measured fastest on v5e), "pallas" ((B, N) provably never reaches
+    # HBM), "xla_high", or the reduced-residency scans "bf16" / "int8"
+    # (2x/4x less pass-1 HBM traffic, measured-residual certificates).
+    chunkstream_scan: str = field(
+        default_factory=lambda: _env("CHUNKSTREAM_SCAN", "xla")
     )
     # int8 re-rank location: "device" (default) re-ranks the int8 scan's
     # candidates ON DEVICE with the full-precision query against the
@@ -339,7 +351,8 @@ class APIConfig:
         default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
     )
     # Extra per-request search methods to pre-compile at startup
-    # (comma-separated: "streaming", "hnsw", "approx", "fast"). Defaults
+    # (comma-separated: "streaming", "chunkstream", "hnsw", "approx",
+    # "fast"). Defaults
     # to the cheap set so a fresh server never 504s on a documented
     # knob's first use; "hnsw" stays opt-in because its warmup builds
     # the graph (minutes) unless a persisted graph exists.

@@ -124,6 +124,7 @@ class VectorStore:
         self._hnsw = None  # native graph index (index_type == "HNSW")
         self._bound_scale = None  # w_max * max row norm (method="fast")
         self._max_row_norm = None  # unweighted max row norm (bf16 bound)
+        self._chunkstore = None  # ops/chunk_stream state (method="chunkstream")
         self._loaded = False
         self._searches = 0
         self._created_at = time.time()
@@ -198,6 +199,7 @@ class VectorStore:
         self._hnsw = None
         self._bound_scale = None
         self._max_row_norm = None
+        self._chunkstore = None
         return len(records)
 
     # ----------------------------------------------------------- lifecycle
@@ -286,8 +288,26 @@ class VectorStore:
         """Drop device arrays (reference analog: milvus_service.py:411)."""
         self._dev = None
         self._sharded = None
+        self._chunkstore = None
         self._loaded = False
         return True
+
+    def _ensure_chunkstore(self):
+        """Lazily build the streaming chunk-select state (transposed
+        weight-folded corpus + raw fp32 rows, ops/chunk_stream.py) the
+        first time method="chunkstream" is requested. Residency cost: one
+        extra (D, N_pad) array in the configured scan dtype (fp32 = the
+        corpus again; bf16/int8 = half/quarter of it)."""
+        if self._chunkstore is None:
+            from ..ops.chunk_stream import ChunkStore
+
+            scan = self.config.chunkstream_scan
+            weights = self.corpus.level_weights(self.config.level_weights)
+            self._chunkstore = ChunkStore.build(
+                self._vectors, weights,
+                scan_dtype=scan if scan in ("bf16", "int8") else "fp32",
+            )
+        return self._chunkstore
 
     def clear_collection(self) -> bool:
         self.release_collection()
@@ -321,11 +341,13 @@ class VectorStore:
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
         which handles one query; here B queries cost one device call).
 
-        ``method`` ("exact"/"approx"/"fast"/"streaming"/"hnsw") and
-        ``ef_search`` (HNSW beam
+        ``method`` ("exact"/"approx"/"fast"/"streaming"/"chunkstream"/
+        "hnsw") and ``ef_search`` (HNSW beam
         width) are per-request overrides of the config defaults — the
         reference exposes the same knobs through its Milvus index params
-        (README_MILVUS_CONFIG.md)."""
+        (README_MILVUS_CONFIG.md). "chunkstream" is the huge-corpus
+        streaming path (ops/chunk_stream.py): certified chunk-select
+        with a CHUNKSTREAM_SCAN-dtype pass 1 and exact fp32 pass 2."""
         method = method or self.config.search_method
         # device (jax) query arrays are accepted and stay on device for
         # the flat scan paths — the serving hot path feeds the encoder
@@ -375,6 +397,11 @@ class VectorStore:
                 q_pad, k=k_pad, method="auto" if method == "exact" else method
             )
         elif self._dev is not None and "corpus_q" in self._dev:
+            if method == "chunkstream":
+                raise ValueError(
+                    "chunkstream requires fp32 device residency "
+                    "(STORE_DEVICE_DTYPE=float32)"
+                )
             # two-stage quantized scan: int8 MXU over-fetch (4k) on
             # device, then a re-rank of the candidate set. Where the
             # re-rank runs is INT8_RERANK (config.int8_rerank):
@@ -425,6 +452,45 @@ class VectorStore:
                 idx = np.take_along_axis(idx_q, order, axis=1)
                 self._searches += b
                 return self.build_hits(vals, idx)
+        elif method == "chunkstream":
+            # streaming chunk-select v2 (ops/chunk_stream.py): pass-1
+            # chunk-max scan in the configured dtype (CHUNKSTREAM_SCAN),
+            # pass-2 exact fp32 HIGHEST re-score of the selected 128-row
+            # blocks. The huge-corpus serving path — the (B, N) score
+            # matrix never materializes at fp32, and reduced-precision
+            # scans halve/quarter the pass-1 HBM traffic with
+            # measured-residual certificates. Uncertified batches
+            # (near-ties at the chunk boundary) redo on the exact path.
+            if (
+                self._dev is None
+                or "corpus" not in self._dev
+                or str(self._dev["corpus"].dtype) != "float32"
+            ):
+                raise ValueError(
+                    "chunkstream requires fp32 device residency "
+                    "(STORE_DEVICE_DTYPE=float32)"
+                )
+            from ..ops import chunk_stream
+
+            cs = self._ensure_chunkstore()
+            scan = self.config.chunkstream_scan
+            interpret = jax.default_backend() != "tpu"
+            if interpret and scan == "pallas":
+                scan = "xla"  # pass-1 without Mosaic off-TPU
+            vals, idx, cert = chunk_stream.search(
+                cs, q_pad, k=k_pad, scan=scan, interpret=interpret
+            )
+            if not bool(np.asarray(cert).all()):
+                if _use_pallas():
+                    vals, idx = fused_search(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad, tile_n=0,
+                    )
+                else:
+                    vals, idx = flat_search_jax(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad,
+                    )
         elif (
             method in ("fast", "chunk")
             and self._dev is not None

@@ -60,12 +60,19 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def _chunkmax_t_kernel(q_ref, ct_ref, o_ref):
-    # q: (B, D) resident; ct: (D, T) tile of the transposed corpus
+    # q: (B, D) resident; ct: (D, T) tile of the transposed corpus.
+    # fp32 tiles use HIGHEST (6-pass exact); bf16 tiles are a single MXU
+    # pass with fp32 accumulation (the MXU's native mode)
+    prec = (
+        jax.lax.Precision.HIGHEST
+        if ct_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
     s = jax.lax.dot_general(
         q_ref[:], ct_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )  # (B, T)
     b, t = s.shape
     cm = jnp.max(s.reshape(b, t // 128, 128), axis=2)  # (B, e)
@@ -73,13 +80,30 @@ def _chunkmax_t_kernel(q_ref, ct_ref, o_ref):
     o_ref[:] = cm.T
 
 
-def transposed_tile_n(batch: int, n: int, dim: int, cap: int = 2048) -> int:
+def _chunkmax_t_scaled_kernel(q_ref, ct_ref, sc_ref, o_ref):
+    # int8 tile: bf16 convert is exact for |v| <= 127, single MXU pass
+    # with fp32 accumulation, then the per-COLUMN (= per-row of the
+    # untransposed corpus) dequant scale before the chunk max
+    s = jax.lax.dot_general(
+        q_ref[:], ct_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B, T)
+    s = s * sc_ref[:]  # (1, T) broadcast
+    b, t = s.shape
+    cm = jnp.max(s.reshape(b, t // 128, 128), axis=2)
+    o_ref[:] = cm.T
+
+
+def transposed_tile_n(batch: int, n: int, dim: int, cap: int = 2048,
+                      itemsize: int = 4) -> int:
     """Largest T with (D, T) double-buffered tiles + (B, T) scores + the
-    (B, D) query block within ~13 MB of VMEM."""
+    (B, D) query block within ~13 MB of VMEM. itemsize is the stored
+    corpus_t element width (4 fp32, 2 bf16, 1 int8)."""
     budget = 13 * 1024 * 1024 - batch * dim * 4
     tile = cap
     while tile >= 128:
-        need = 2 * tile * dim * 4 + 2 * batch * tile * 4
+        need = 2 * tile * dim * itemsize + 2 * batch * tile * 4
         if need <= budget and n % tile == 0:
             return tile
         tile //= 2
@@ -88,16 +112,49 @@ def transposed_tile_n(batch: int, n: int, dim: int, cap: int = 2048) -> int:
 
 def chunk_maxima_transposed(
     queries: jnp.ndarray,  # (B, D) fp32
-    corpus_t: jnp.ndarray,  # (D, N) fp32, weight-folded
+    corpus_t: jnp.ndarray,  # (D, N) weight-folded: fp32, bf16 or int8
     tile_n: int,
+    scales: Optional[jnp.ndarray] = None,  # (N,) fp32 — int8 only
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, N/128) exact weighted chunk maxima; (B, N) stays in VMEM."""
+    """(B, N/128) weighted chunk maxima; (B, N) stays in VMEM. Exact
+    (fp32 HIGHEST) for fp32 corpus_t; bf16/int8 tiles stream at 2x/4x
+    less HBM with the measured-residual certificate widening handled by
+    the caller."""
     b, d = queries.shape
     d2, n = corpus_t.shape
     assert d == d2, (d, d2)
     assert n % tile_n == 0 and tile_n % 128 == 0, (n, tile_n)
     e = tile_n // 128
+    itemsize = jnp.dtype(corpus_t.dtype).itemsize
+    q = queries.astype(
+        jnp.float32 if corpus_t.dtype == jnp.float32 else jnp.bfloat16
+    )
+
+    if corpus_t.dtype == jnp.int8:
+        assert scales is not None
+        cm_t = pl.pallas_call(
+            _chunkmax_t_scaled_kernel,
+            grid=(n // tile_n,),
+            in_specs=[
+                pl.BlockSpec((b, d), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((d, tile_n), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, tile_n), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((e, b), lambda j: (j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n // 128, b), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * b * n * d,
+                bytes_accessed=n * d + n * 4 + b * (n // 128) * 4,
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(q, corpus_t, scales.reshape(1, n).astype(jnp.float32))
+        return cm_t.T
 
     cm_t = pl.pallas_call(
         _chunkmax_t_kernel,
@@ -110,11 +167,11 @@ def chunk_maxima_transposed(
         out_shape=jax.ShapeDtypeStruct((n // 128, b), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * n * d,
-            bytes_accessed=n * d * 4 + b * (n // 128) * 4,
+            bytes_accessed=n * d * itemsize + b * (n // 128) * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(queries.astype(jnp.float32), corpus_t)
+    )(q, corpus_t)
     return cm_t.T
 
 
@@ -225,9 +282,10 @@ def gather_rescore(
 # value; d*2^-24 sequential-accumulation worst case at d<=768 is ~4.6e-5,
 # doubled for the two conventions
 EPS_FP32_DOT = 1e-4
-# worst-case relative l2 error of casting the query to bf16 (per-element
-# half-ulp 2^-9, with margin)
-EPS_BF16_VEC = 2.0 ** -8
+# worst-case relative l2 error of casting the query to bf16: round-to-
+# nearest is <= half-ulp 2^-9 per element, so ||q - bf16(q)|| <=
+# 2^-9 ||q||; 1.25x margin absorbs any non-RN edge (ties, subnormals)
+EPS_BF16_VEC = 1.25 * 2.0 ** -9
 
 
 @dataclass
@@ -273,7 +331,10 @@ class ChunkStore:
             multiple=tile_cap,
         )
         n = cp.shape[0]
-        tile_n = transposed_tile_n(batch_hint, n, cp.shape[1], cap=tile_cap)
+        tile_n = transposed_tile_n(
+            batch_hint, n, cp.shape[1], cap=tile_cap,
+            itemsize={"fp32": 4, "bf16": 2, "int8": 1}[scan_dtype],
+        )
         folded = cp * wp[:, None]
         bscale = float(np.linalg.norm(folded, axis=1).max()) or 1.0
         scales = None
@@ -319,6 +380,72 @@ class ChunkStore:
         )
 
 
+@partial(jax.jit, static_argnames=("n_pad", "scan_dtype"))
+def _build_device_arrays(v, w, n_pad: int, scan_dtype: str):
+    """Device-side ChunkStore array prep: pad, fold, transpose, quantize,
+    and measure the exact quantization residual — all under one jit so a
+    large corpus never round-trips to the host."""
+    n, d = v.shape
+    cp = jnp.pad(v.astype(jnp.float32), ((0, n_pad - n), (0, 0)))
+    wp = jnp.pad(w.astype(jnp.float32), (0, n_pad - n))
+    mask = jnp.where(jnp.arange(n_pad) < n, 0.0, -1e30).astype(jnp.float32)
+    folded = cp * wp[:, None]
+    bscale = jnp.sqrt(jnp.max(jnp.sum(folded * folded, axis=1)))
+    scales = jnp.zeros((n_pad,), jnp.float32)
+    if scan_dtype == "bf16":
+        ct = folded.T.astype(jnp.bfloat16)
+        deq = ct.astype(jnp.float32).T
+        resid = jnp.sqrt(jnp.max(jnp.sum((folded - deq) ** 2, axis=1)))
+    elif scan_dtype == "int8":
+        s = jnp.max(jnp.abs(folded), axis=1) / 127.0
+        s = jnp.where(s == 0.0, 1.0, s)
+        q8 = jnp.clip(jnp.rint(folded / s[:, None]), -127, 127)
+        ct = q8.astype(jnp.int8).T
+        deq = q8 * s[:, None]
+        resid = jnp.sqrt(jnp.max(jnp.sum((folded - deq) ** 2, axis=1)))
+        scales = s.astype(jnp.float32)
+    else:
+        ct = folded.T
+        resid = jnp.float32(0.0)
+    return cp, wp, mask, ct, scales, bscale, resid
+
+
+def build_device(
+    vectors: jnp.ndarray,  # (N, D) device-resident
+    weights: jnp.ndarray,  # (N,) device-resident
+    batch_hint: int = 64,
+    tile_cap: int = 2048,
+    scan_dtype: str = "fp32",
+) -> ChunkStore:
+    """ChunkStore.build for DEVICE-resident inputs: all heavy prep runs
+    on device (one jit), so building a 1M-row store costs no host
+    transfer. Inputs are jit ARGUMENTS, not closures — closure-captured
+    device arrays become lowering constants, which the axon
+    remote-compile rejects above ~1 GB."""
+    assert scan_dtype in ("fp32", "bf16", "int8"), scan_dtype
+    n, d = vectors.shape
+    n_pad = _cdiv(n, tile_cap) * tile_cap
+    tile_n = transposed_tile_n(
+        batch_hint, n_pad, d, cap=tile_cap,
+        itemsize={"fp32": 4, "bf16": 2, "int8": 1}[scan_dtype],
+    )
+    cp, wp, mask, ct, scales, bscale, resid = _build_device_arrays(
+        vectors, weights, n_pad=n_pad, scan_dtype=scan_dtype
+    )
+    return ChunkStore(
+        corpus_t=ct,
+        corpus=cp,
+        weights=wp,
+        mask=mask,
+        n_real=n,
+        tile_n=tile_n,
+        bound_scale=float(bscale) or 1.0,
+        scan_dtype=scan_dtype,
+        scales=scales if scan_dtype == "int8" else None,
+        resid_max=float(resid),
+    )
+
+
 @partial(jax.jit, static_argnames=("k", "mc", "tile_n", "n_real",
                                    "scan", "guarantee", "interpret"))
 def chunk_stream_search(
@@ -342,23 +469,25 @@ def chunk_stream_search(
     certified). See module docstring for the certificate argument.
 
     scan — how pass 1 computes the chunk maxima:
-      "pallas"   — the streaming Pallas kernel, fp32 HIGHEST: (B, N)
-                   provably never reaches HBM; EPS_FP32_DOT certificate.
-      "xla"      — plain XLA dot at HIGHEST + fused chunk-max: XLA may
-                   or may not materialize (B, N) (it tiles the matmul
-                   itself and fuses reductions where it can) but avoids
-                   Pallas' measured ~12 µs/grid-step cost on this
-                   platform; EPS_FP32_DOT certificate.
-      "xla_high" — XLA bf16x3 dot (3 MXU passes instead of 6); the
-                   certificate widens by EPS_HIGH_DOT·bound_scale·‖q‖.
-      "bf16"     — corpus_t stored bf16 (2x less pass-1 HBM traffic),
-                   single-pass MXU dot; certificate widens by the exact
-                   build-time residual ‖fold−bf16(fold)‖ (resid_max)
-                   plus the query-cast term.
-      "int8"     — corpus_t stored int8 + per-row scales (4x less pass-1
-                   HBM traffic); same measured-residual certificate.
-    Pass-2 re-scoring is fp32 HIGHEST for every mode, so certified
-    results are exact regardless of scan dtype.
+      "pallas"   — the streaming Pallas kernel: (B, N) provably never
+                   reaches HBM. Adapts to corpus_t's stored dtype (fp32
+                   HIGHEST / bf16 single-pass / int8+scales), streaming
+                   2x/4x less HBM for the reduced dtypes. Measured
+                   fastest on v5e (config 6 round-4 A/B).
+      "xla"      — plain XLA dot + fused chunk-max in corpus_t's dtype:
+                   XLA may or may not materialize (B, N) (it tiles the
+                   matmul itself and fuses reductions where it can).
+      "xla_high" — XLA bf16x3 dot over fp32 corpus_t (3 MXU passes
+                   instead of 6); certificate widens by
+                   EPS_HIGH_DOT·bound_scale·‖q‖.
+      "bf16"/"int8" — back-compat aliases for "xla" on a store of that
+                   dtype.
+    The certificate epsilon follows the STORED dtype: fp32 scans carry
+    EPS_FP32_DOT (fold-vs-multiply rounding); bf16/int8 scans widen by
+    the exact build-time residual ‖fold−dequant(quant(fold))‖
+    (resid_max) plus the query-cast term. Pass-2 re-scoring is fp32
+    HIGHEST for every mode, so certified results are exact regardless
+    of scan dtype.
     """
     assert scan in ("pallas", "xla", "xla_high", "bf16", "int8"), scan
     b, d = queries.shape
@@ -368,22 +497,32 @@ def chunk_stream_search(
         mc = max(2 * k, k + 16)
     mc = min(mc, nc)
     if tile_n == 0:
-        tile_n = transposed_tile_n(b, n, d)
+        tile_n = transposed_tile_n(
+            b, n, d, itemsize=jnp.dtype(corpus_t.dtype).itemsize
+        )
     if n_real == 0:
         n_real = n
+    ct_dtype = corpus_t.dtype
+    if scan == "bf16":
+        assert ct_dtype == jnp.bfloat16, ct_dtype
+        scan = "xla"
+    elif scan == "int8":
+        assert ct_dtype == jnp.int8, ct_dtype
+        scan = "xla"
+    if scan == "xla_high":
+        assert ct_dtype == jnp.float32, ct_dtype
 
     if scan == "pallas":
         cm = chunk_maxima_transposed(queries, corpus_t, tile_n,
+                                     scales=scales,
                                      interpret=interpret)  # (B, nc)
-    elif scan == "bf16":
-        assert corpus_t.dtype == jnp.bfloat16, corpus_t.dtype
+    elif ct_dtype == jnp.bfloat16:
         s = jnp.dot(
             queries.astype(jnp.bfloat16), corpus_t,
             preferred_element_type=jnp.float32,
         )
         cm = jnp.max(s.reshape(b, nc, 128), axis=2)
-    elif scan == "int8":
-        assert corpus_t.dtype == jnp.int8, corpus_t.dtype
+    elif ct_dtype == jnp.int8:
         assert scales is not None
         # int8 -> bf16 is exact for |v| <= 127; the fp32-accumulated MXU
         # dot then carries only the build-time quantization residual
@@ -435,16 +574,16 @@ def chunk_stream_search(
     q_norms = jnp.sqrt(
         jnp.sum(queries * queries, axis=1, dtype=jnp.float32)
     )
-    if scan == "xla_high":
-        from .rerank import EPS_HIGH_DOT
-
-        eps = EPS_HIGH_DOT * bound_scale * q_norms
-    elif scan in ("bf16", "int8"):
+    if ct_dtype in (jnp.bfloat16, jnp.int8):
         # Cauchy-Schwarz on the measured quantization residual, plus the
         # query bf16-cast term and the fp32 accumulation gap
         eps = (
             resid_max + (EPS_BF16_VEC + EPS_FP32_DOT) * bound_scale
         ) * q_norms
+    elif scan == "xla_high":
+        from .rerank import EPS_HIGH_DOT
+
+        eps = EPS_HIGH_DOT * bound_scale * q_norms
     else:
         # fold-vs-multiply fp32 rounding gap (see module docstring)
         eps = EPS_FP32_DOT * bound_scale * q_norms
@@ -474,10 +613,10 @@ def search(store: ChunkStore, queries, k: int, mc: int = 0,
            scan: Optional[str] = None, guarantee: bool = False,
            interpret: bool = False):
     """Convenience wrapper binding a ChunkStore's device state. scan
-    defaults to the store's residency dtype ("fp32" residency -> the
-    Pallas scan)."""
+    defaults to the Pallas kernel, which adapts to the store's residency
+    dtype (measured fastest on-chip for every dtype, config 6 r4)."""
     if scan is None:
-        scan = "pallas" if store.scan_dtype == "fp32" else store.scan_dtype
+        scan = "pallas"
     return chunk_stream_search(
         jnp.asarray(queries, jnp.float32), store.corpus_t, store.corpus,
         store.weights, store.mask, k=k, mc=mc, tile_n=store.tile_n,

@@ -54,6 +54,10 @@ class ShardedFlatSearcher:
         self.corpus = global_device_put(cp, row_sharding)
         self.weights = global_device_put(wp, vec_sharding)
         self.mask = global_device_put(mask, vec_sharding)
+        # certificate scale for the per-shard chunkstream method
+        norms = np.linalg.norm(corpus, axis=1) if corpus.size else np.ones(1)
+        wmax = float(np.max(weights)) if np.asarray(weights).size else 1.0
+        self._bound_scale = float(norms.max()) * wmax or 1.0
         self._fn_cache = {}
 
     def _build(self, k: int, method: str = "auto"):
@@ -66,6 +70,9 @@ class ShardedFlatSearcher:
         #   streaming — force the slot-stream kernel (TPU) / XLA on CPU
         #   fast      — certified chunk-select over a HIGH scan per shard
         #               (in-program exact fallback; guarantee=True)
+        #   chunkstream — streaming chunk-select v2 per shard: fused
+        #               chunk-max pass 1 + exact block re-score pass 2,
+        #               certified with in-program exact fallback
         #   approx    — lax.approx_max_k per shard
         #   exact     — materialized scan + lax.top_k
         on_tpu = jax.default_backend() == "tpu"
@@ -97,6 +104,68 @@ class ShardedFlatSearcher:
                 vals, idx, _ = chunk_select_search(
                     q, corpus, weights, mask, k=k,
                     scan_precision="high", guarantee=True,
+                )
+            elif method == "chunkstream":
+                # per-shard streaming chunk-select v2 (ops/chunk_stream
+                # design, pure-XLA spelling so it lowers inside shard_map
+                # on any backend): pass 1 is a fp32 HIGHEST dot whose
+                # 128-column chunk-max reduce XLA fuses into the matmul
+                # epilogue (nothing (B, rows)-sized is kept), pass 2
+                # re-scores only the selected 128-row blocks. Certified
+                # per query; an uncertified batch recomputes the full
+                # materialized scan INSIDE the program (the untaken
+                # branch of lax.cond costs nothing at runtime).
+                from ..ops.chunk_stream import EPS_FP32_DOT
+
+                b = q.shape[0]
+                rows = corpus.shape[0]
+                nc = rows // 128
+                mc = min(max(2 * k, k + 16), nc)
+                prec = jax.lax.Precision.HIGHEST
+                s = jnp.dot(
+                    q, corpus.T, preferred_element_type=jnp.float32,
+                    precision=prec,
+                ) * weights[None, :] + mask[None, :]
+                cm = jnp.max(s.reshape(b, nc, 128), axis=2)
+                cvals, cidx = jax.lax.top_k(cm, mc)
+                blocks = jnp.take(
+                    corpus.reshape(nc, 128, -1), cidx, axis=0
+                )  # (b, mc, 128, D)
+                wb = jnp.take(weights.reshape(nc, 128), cidx, axis=0)
+                mb = jnp.take(mask.reshape(nc, 128), cidx, axis=0)
+                raw = jnp.einsum(
+                    "bd,bmrd->bmr", q, blocks, precision=prec,
+                    preferred_element_type=jnp.float32,
+                )
+                scores = (raw * wb + mb).reshape(b, mc * 128)
+                vals, sel = jax.lax.top_k(scores, k)
+                cols = (
+                    cidx[:, :, None] * 128
+                    + jax.lax.broadcasted_iota(
+                        jnp.int32, (b, mc, 128), 2)
+                ).reshape(b, mc * 128)
+                idx = jnp.take_along_axis(cols, sel, axis=1).astype(
+                    jnp.int32
+                )
+                q_norms = jnp.sqrt(
+                    jnp.sum(q * q, axis=1, dtype=jnp.float32)
+                )
+                eps = EPS_FP32_DOT * self._bound_scale * q_norms
+                certified = vals[:, k - 1] >= cvals[:, mc - 1] + eps
+
+                def _keep(_):
+                    return vals, idx
+
+                def _fallback(_):
+                    s2 = jnp.dot(
+                        q, corpus.T, preferred_element_type=jnp.float32,
+                        precision=prec,
+                    ) * weights[None, :] + mask[None, :]
+                    v, i = jax.lax.top_k(s2, k)
+                    return v, i.astype(jnp.int32)
+
+                vals, idx = jax.lax.cond(
+                    jnp.all(certified), _keep, _fallback, None
                 )
             elif method == "approx":
                 scores = jnp.dot(
@@ -150,10 +219,11 @@ class ShardedFlatSearcher:
         if method in (None, ""):
             method = "auto"
         if method not in ("auto", "exact", "streaming", "fast", "chunk",
-                          "approx"):
+                          "chunkstream", "approx"):
             raise ValueError(
                 f"search method {method!r} is not available on a sharded "
-                "store (supported: exact, streaming, fast, approx)"
+                "store (supported: exact, streaming, fast, chunkstream, "
+                "approx)"
             )
         key = (k, method)
         if key not in self._fn_cache:

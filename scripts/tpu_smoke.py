@@ -224,6 +224,40 @@ def main() -> int:
 
     check("chunk_maxima_transposed", _chunkmax)
 
+    def _chunkstream_reduced():
+        # bf16/int8 stored pass-1 (both the Pallas kernel and the XLA
+        # dot spelling): certified rows must match brute force exactly
+        # (pass 2 is fp32 HIGHEST); selection overlap stays high even
+        # where the conservative residual bound declines to certify
+        exp3 = brute(q3, vecs3, w3)
+        true_i = np.argsort(-exp3, axis=1)[:, :k]
+        q3d = jax.device_put(q3)
+        for sd in ("bf16", "int8"):
+            storeR = ChunkStore.build(vecs3, w3, batch_hint=16,
+                                      scan_dtype=sd)
+            for scan in ("pallas", "xla"):
+                v, i, cert = chunk_stream_search(
+                    q3d, storeR.corpus_t, storeR.corpus, storeR.weights,
+                    storeR.mask, k=k, tile_n=storeR.tile_n,
+                    n_real=storeR.n_real, scan=scan,
+                    bound_scale=storeR.bound_scale, scales=storeR.scales,
+                    resid_max=storeR.resid_max, guarantee=False,
+                )
+                v, i, cert = map(np.asarray, (v, i, cert))
+                want = -np.sort(-exp3, axis=1)[:, :k]
+                for r in range(q3.shape[0]):
+                    if cert[r]:
+                        assert np.allclose(
+                            v[r], want[r], rtol=1e-4, atol=1e-5
+                        ), (sd, scan, r)
+                ov = np.mean([
+                    len(set(i[r]) & set(true_i[r])) / k
+                    for r in range(q3.shape[0])
+                ])
+                assert ov >= 0.95, (sd, scan, ov)
+
+    check("chunk_stream_search[bf16/int8 pass-1]", _chunkstream_reduced)
+
     def _gather():
         mc = 8
         ids = np.ascontiguousarray(
