@@ -14,10 +14,19 @@ dispatch.
 
 import json
 import os
-import time
-from functools import partial
 
-import numpy as np
+# pin BLAS threads BEFORE numpy import: the box has one core, but BLAS
+# thread autodetection made the CPU baseline swing 2x run-to-run
+# (BENCH_r02 616 QPS vs BENCH_r03 293 QPS), which doubled/halved
+# vs_baseline for reasons that had nothing to do with the device path
+os.environ.setdefault("OMP_NUM_THREADS", "1")
+os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+os.environ.setdefault("MKL_NUM_THREADS", "1")
+
+import time  # noqa: E402
+from functools import partial  # noqa: E402
+
+import numpy as np  # noqa: E402
 
 
 def main() -> None:
@@ -124,13 +133,18 @@ def main() -> None:
         )
         certified = float(np.asarray(cert).mean())
 
-    # CPU numpy baseline (reference-equivalent flat scan), batched fairly
-    t0 = time.time()
-    reps = 3
-    for _ in range(reps):
+    # CPU numpy baseline (reference-equivalent flat scan), batched
+    # fairly: median of 5 independent reps with pinned BLAS threads (see
+    # module top) so vs_baseline stops swinging 2x between rounds; raw
+    # reps are recorded in the JSON for auditability
+    (queries @ vectors.T)  # BLAS warm (page-in + plan)
+    cpu_reps = []
+    for _ in range(5):
+        t0 = time.time()
         s = (queries @ vectors.T) * weights[None, :]
         np.argpartition(-s, K, axis=1)[:, :K]
-    cpu_time = (time.time() - t0) / reps
+        cpu_reps.append(time.time() - t0)
+    cpu_time = float(np.median(cpu_reps))
     cpu_qps = B / cpu_time
 
     result = {
@@ -146,6 +160,8 @@ def main() -> None:
             "recall_at_10_vs_exact": round(float(recall), 4),
             "certified_fraction": round(certified, 4),
             "cpu_baseline_qps": round(cpu_qps, 1),
+            "cpu_baseline_reps_ms": [round(r * 1000, 1) for r in cpu_reps],
+            "cpu_blas_threads": os.environ.get("OMP_NUM_THREADS"),
             "corpus_rows": int(n),
         },
     }

@@ -504,64 +504,102 @@ def _config6_synthetic_1m(b: int = 64, k: int = 16, iters: int = 20) -> Dict:
 
 def config7_int8_4m(cfg, corpus, vectors, weights) -> Dict:
     """1/4-memory serving demonstrated end-to-end: a 4M x 768 corpus
-    resides on device ONLY as int8 (+ per-row fp32 scales) — 3.1 GB where
-    fp32 needs 12.3 GB — searched with the device-side re-rank
+    resides on device ONLY as int8 (+ per-row fp32 scales) — 3.2 GB where
+    fp32 needs 12.9 GB — searched with the device-side re-rank
     (full-precision query x dequantized candidates,
     ops/quantized.py int8_search_device_rerank). recall@10 is measured
-    against the TRUE fp32 ranking, computed chunk-wise on the host while
-    the fp32 chunks are discarded after quantization. The reference can
-    only ESTIMATE memory (milvus_service.py:497-522)."""
+    against the TRUE fp32 (HIGHEST) ranking, tracked as a running
+    device-side top-k while the fp32 chunks are generated and discarded.
+    The reference can only ESTIMATE memory (milvus_service.py:497-522)."""
     import jax
-    import jax.numpy as jnp
-
-    from rag_icd10_tpu.ops.quantized import (
-        int8_search_device_rerank,
-        quantize_rows,
-    )
 
     if jax.default_backend() != "tpu":
         return {"skipped": "4M int8 residency bench requires the TPU"}
+    return _int8_residency_bench(n=4_194_304, d=768, b=8, k=10, iters=3)
 
-    n, d, b, k, iters = 4_194_304, 768, 8, 10, 3
-    chunk = 262_144
+
+def config8_int8_10m(cfg, corpus, vectors, weights) -> Dict:
+    """docs/SCALING.md's central claim at the largest N that fits one
+    chip: 10.5M x 768 int8-resident serving — 8.1 GB device residency
+    where fp32 needs 32.2 GB (does not fit in 16 GB HBM at all). Same
+    protocol as config 7."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return {"skipped": "10M int8 residency bench requires the TPU"}
+    return _int8_residency_bench(n=10_485_760, d=768, b=8, k=10, iters=3)
+
+
+def _int8_residency_bench(n: int, d: int, b: int, k: int, iters: int,
+                          chunk: int = 524_288) -> Dict:
+    """Shared int8-residency protocol, fully ON DEVICE:
+
+    - the corpus is generated in fp32 chunks on device (host->device
+      transfer of a multi-GB corpus through the axon tunnel would take
+      longer than the bench), quantized to int8 in the same jit step,
+      and streamed into a donated int8 buffer (dynamic_update_slice with
+      a TRACED offset: one compile for all chunks, in-place update);
+    - the TRUE fp32 weighted ranking (precision=HIGHEST) is tracked as a
+      running top-k in the same step, before the fp32 chunk is dropped —
+      at no point does a fp32 corpus exist in full;
+    - the timed path is the chained int8 scan + device re-rank."""
+    import jax
+    import jax.numpy as jnp
+
+    from rag_icd10_tpu.ops.quantized import int8_search_device_rerank
+
+    assert n % chunk == 0, (n, chunk)
     rng = np.random.default_rng(42)
     probes = rng.standard_normal((b, d)).astype(np.float32)
     probes /= np.linalg.norm(probes, axis=1, keepdims=True)
-
-    q_parts, s_parts, w_parts = [], [], []
-    # running exact fp32 weighted top-k on the host (ground truth)
-    best_vals = np.full((b, k), -np.inf, np.float32)
-    best_idx = np.full((b, k), -1, np.int64)
-    t_gen = time.time()
-    for lo in range(0, n, chunk):
-        block = rng.standard_normal((chunk, d)).astype(np.float32)
-        block /= np.linalg.norm(block, axis=1, keepdims=True)
-        wblk = rng.choice([0.8, 1.0, 1.2], chunk).astype(np.float32)
-        qb, sb = quantize_rows(block)
-        q_parts.append(qb)
-        s_parts.append(sb)
-        w_parts.append(wblk)
-        scores = (probes @ block.T) * wblk[None, :]
-        cat_v = np.concatenate([best_vals, scores], axis=1)
-        cat_i = np.concatenate(
-            [best_idx, np.arange(lo, lo + chunk)[None, :].repeat(b, 0)],
-            axis=1,
-        )
-        sel = np.argsort(-cat_v, axis=1)[:, :k]
-        best_vals = np.take_along_axis(cat_v, sel, axis=1)
-        best_idx = np.take_along_axis(cat_i, sel, axis=1)
-        del block, scores, cat_v, cat_i
-    corpus_q = np.concatenate(q_parts)
-    scales = np.concatenate(s_parts)
-    wts = np.concatenate(w_parts)
-    del q_parts, s_parts, w_parts
-    gen_s = time.time() - t_gen
-
-    cq = jax.device_put(corpus_q)
-    sc = jax.device_put(scales)
-    wd = jax.device_put(wts)
-    md = jax.device_put(np.zeros(n, np.float32))
     qd = jax.device_put(probes)
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+    def gen_step(buf, sbuf, wbuf, bv, bi, key, q, lo):
+        kb, kw = jax.random.split(key)
+        block = jax.random.normal(kb, (chunk, d), jnp.float32)
+        block = block / jnp.linalg.norm(block, axis=1, keepdims=True)
+        wblk = jnp.take(
+            jnp.array([0.8, 1.0, 1.2], jnp.float32),
+            jax.random.randint(kw, (chunk,), 0, 3),
+        )
+        absmax = jnp.max(jnp.abs(block), axis=1)
+        s = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        q8 = jnp.clip(
+            jnp.rint(block / s[:, None]), -127, 127
+        ).astype(jnp.int8)
+        scores = jax.lax.dot_general(
+            q, block, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ) * wblk[None, :]
+        cat_v = jnp.concatenate([bv, scores], axis=1)
+        idx_blk = lo + jax.lax.broadcasted_iota(
+            jnp.int32, (b, chunk), 1
+        )
+        cat_i = jnp.concatenate([bi, idx_blk], axis=1)
+        nv, sel = jax.lax.top_k(cat_v, k)
+        ni = jnp.take_along_axis(cat_i, sel, axis=1)
+        buf = jax.lax.dynamic_update_slice(buf, q8, (lo, 0))
+        sbuf = jax.lax.dynamic_update_slice(sbuf, s, (lo,))
+        wbuf = jax.lax.dynamic_update_slice(wbuf, wblk, (lo,))
+        return buf, sbuf, wbuf, nv, ni
+
+    t_gen = time.time()
+    buf = jnp.zeros((n, d), jnp.int8)
+    sbuf = jnp.ones((n,), jnp.float32)
+    wbuf = jnp.zeros((n,), jnp.float32)
+    bv = jnp.full((b, k), -jnp.inf, jnp.float32)
+    bi = jnp.full((b, k), -1, jnp.int32)
+    key = jax.random.PRNGKey(7)
+    for ci in range(n // chunk):
+        buf, sbuf, wbuf, bv, bi = gen_step(
+            buf, sbuf, wbuf, bv, bi, jax.random.fold_in(key, ci), qd,
+            jnp.int32(ci * chunk),
+        )
+    best_idx = np.asarray(jax.block_until_ready(bi))
+    gen_s = time.time() - t_gen
+    md = jnp.zeros((n,), jnp.float32)
 
     @partial(jax.jit, static_argnames=("iters",))
     def chained(q, cq, sc, w, m, iters=iters):
@@ -578,27 +616,28 @@ def config7_int8_4m(cfg, corpus, vectors, weights) -> Dict:
         )
         return vals, idxs
 
-    _, idxs = jax.block_until_ready(chained(qd, cq, sc, wd, md))  # compile
+    _, idxs = jax.block_until_ready(chained(qd, buf, sbuf, wbuf, md))
     t0 = time.time()
-    _, idxs = jax.block_until_ready(chained(qd, cq, sc, wd, md))
+    _, idxs = jax.block_until_ready(chained(qd, buf, sbuf, wbuf, md))
     dt = (time.time() - t0) / iters
     # iteration 0 has carry=0 so qq == q exactly — later iterations'
     # perturbed queries (qq = q + carry*1e-6) can flip near-ties vs the
-    # unperturbed host ground truth and bias the recall metric
+    # unperturbed ground truth and bias the recall metric
     got = np.asarray(idxs)[0]  # (b, k)
     recall = np.mean([
         len(set(got[i]) & set(best_idx[i])) / k for i in range(b)
     ])
+    int8_bytes = n * d + n * 4
     return {
         "n_rows": n,
         "dim": d,
-        "device_int8_gb": round((corpus_q.nbytes + scales.nbytes) / 1e9, 2),
+        "device_int8_gb": round(int8_bytes / 1e9, 2),
         "fp32_equivalent_gb": round(n * d * 4 / 1e9, 2),
         "scan_ms": round(dt * 1000, 2),
         "qps": round(b / dt, 1),
-        "corpus_gb_per_s": round(corpus_q.nbytes / dt / 1e9, 1),
+        "corpus_gb_per_s": round(n * d / dt / 1e9, 1),
         "recall_at_10_vs_true_fp32": round(float(recall), 4),
-        "host_groundtruth_s": round(gen_s, 1),
+        "device_groundtruth_gen_s": round(gen_s, 1),
     }
 
 
@@ -610,6 +649,7 @@ CONFIGS = {
     5: ("end-to-end standardize path", config5_standardize_qps),
     6: ("streaming in-kernel top-k vs materialized", config6_streaming_topk),
     7: ("4M-row int8 quarter-memory serving", config7_int8_4m),
+    8: ("10M-row int8 single-chip serving", config8_int8_10m),
 }
 
 

@@ -624,7 +624,20 @@ class VectorStore:
         the flat fp32 footprint) return bf16-rounded IPs: the fetched
         candidates re-rank EXACTLY against the host fp32 matrix, and the
         completeness bound widens by the bf16 dot error so rounding can
-        never hide an unfetched winner."""
+        never hide an unfetched winner AMONG THE ROWS THE TRAVERSAL
+        VISITED.
+
+        Candidate-selection caveat (measured, round 3/4): both bounds are
+        relative to the graph's raw ordering — a row the greedy descent
+        never reached is outside their reach, which is inherent to HNSW
+        (approximate even at fp32). bf16 traversal adds a small
+        permanent exclusion ceiling: on the trained 40k embeddings the
+        bf16 graph plateaus at recall@10 ≈ 0.998 for ef in [32, 256]
+        (0.995 @ ef16), where the fp32 graph reaches 1.0 at ef ≥ 32 —
+        the re-rank fixes fetched candidates' SCORES but cannot recover
+        a neighbor the rounded descent steered away from. Callers
+        needing exactness should use the flat methods (exact /
+        chunkstream), which are certificate-backed."""
         idx = self.build_hnsw()
         weights = self.corpus.level_weights(self.config.level_weights)
         max_w = float(np.max(self.config.level_weights))

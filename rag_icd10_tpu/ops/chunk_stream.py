@@ -8,15 +8,23 @@ Two passes, both Pallas:
 1. **Chunk-max scan** over a PRE-TRANSPOSED, weight-folded corpus
    ``C_t = (C · diag(w))ᵀ`` of shape (D, N): each grid step computes the
    (B, T) tile scores with the MXU in its natural (B,D)x(D,T) layout and
-   reduces them in VMEM to per-128-column chunk maxima. Measured on v5e
-   (1M x 256, B=64): the (N, D)-layout kernel pays ~12 µs/grid-step
-   REGARDLESS of body precision (fp32 HIGHEST == bf16 single-pass ==
-   ~6 ms at 512 steps) because Mosaic re-lays the rhs tile for the
-   contraction on dim 1; the (D, N) layout removes that cost.
+   reduces them in VMEM to per-128-column chunk maxima. The kernel
+   adapts to C_t's stored dtype — fp32 (HIGHEST, exact), bf16
+   (single-pass MXU, 2x less HBM) or int8 + per-column scales (4x less
+   HBM). The (D, N) layout matters: an (N, D)-layout kernel pays a
+   fixed per-grid-step relayout cost because Mosaic re-lays the rhs
+   tile for a dim-1 contraction.
 2. **Block gather + exact re-score**: the top ``mc`` chunks per query are
    fetched as CONTIGUOUS 128-row blocks from the fp32 (N, D) corpus with
-   double-buffered DMAs (XLA's gather runs at 59 GB/s here — 128 KB
-   block DMAs run near HBM bandwidth) and re-scored at fp32 HIGHEST.
+   double-buffered DMAs (128 KB block DMAs run near HBM bandwidth,
+   where element-gathers crawl) and re-scored at fp32 HIGHEST.
+
+Measured on v5e (config 6, 1M x 256, B=64, k=16, single process A/B vs
+the materialized fp32 scan at 7.0 ms): pallas/fp32 3.97 ms (1.8-2.0x,
+270-293 GB/s), pallas/bf16 3.22 ms (2.2x, 334 GB/s effective,
+cert 0.98), pallas/int8 3.02 ms (2.3x, 356 GB/s effective), all with
+exact top-k. The Pallas scan beats the XLA-dot spelling at every dtype
+(BENCH_CONFIGS_r04.json).
 
 Exactness is certified per query (streaming_chunk_topk's argument,
 ops/pallas_score.py): every row in an unfetched chunk is bounded by the

@@ -5,9 +5,10 @@ For corpora where even bf16 residency is too much HBM (768-d fp32 ≈
 queries quantize per-row at search time. The scan contracts int8×int8 on
 the MXU with int32 accumulation, then rescales to fp32 and applies the
 level weights + padding mask in the epilogue — 4× less corpus HBM
-traffic than fp32, 2× less than bf16, at ~1e-2 relative score error
-(recall@10 stays ≥0.99 on normalized embeddings; measured in
-tests/test_quantized.py).
+traffic than fp32, 2× less than bf16, at ~1e-2 relative score error.
+Accuracy tests live in tests/test_store_dtype.py (TestInt8Residency);
+the measured recall@10 vs the true fp32 ranking at 4M x 768 is recorded
+by benchmarks/run.py config 7 (BENCH_CONFIGS_r04.json).
 
 Enabled with STORE_DEVICE_DTYPE=int8.
 """

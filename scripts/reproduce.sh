@@ -1,37 +1,45 @@
 #!/bin/bash
 # Reproduce every checked-in artifact from scratch on a TPU host.
 # Gitignored outputs (db/, trained weights) do not survive workspace
-# resets; this is the full chain that produced EVAL_r03.json,
-# BENCH_CONFIGS_r03.json, SERVING_r03.json and the bench.py headline.
+# resets; this is the full chain that produced EVAL_r04.json,
+# BENCH_CONFIGS_r04.json, SERVING_r04.json and the bench.py headline.
 #
-# Wall-clock on 1x v5e through the axon tunnel: ~6.5 h total
+# Wall-clock on 1x v5e through the axon tunnel: ~5 h total
 # (training dominates). Every step is individually resumable.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-echo "=== 1. contrastive encoder training (~5 h; checkpoints every 2k steps)"
-timeout 22000 python -m rag_icd10_tpu.tools.train_encoder \
-  --steps 48000 --batch 256 --out db/trained_r3
+echo "=== 0. TPU kernel compile gate (round-3 lesson: interpret-mode tests"
+echo "       keep the suite green while a kernel is hardware-dead)"
+timeout 1800 python scripts/tpu_smoke.py
+
+echo "=== 1. contrastive encoder training (~2.5 h; wedge-resilient watchdog,"
+echo "       checkpoints every 2k steps, tagged every 4k, EVAL-GATED: weights"
+echo "       scoring below the r2 incumbent are left unblessed and the chain"
+echo "       stops rather than pairing a store with a regression)"
+TRAIN_LOG=/tmp/train_reproduce.log scripts/train_watchdog.sh db/trained_r4 20000 \
+  --batch 256 --eval-gate EVAL_r02.json --keep-every 4000
 
 echo "=== 2. distilled NER model (~3 min)"
 timeout 2000 python -m rag_icd10_tpu.tools.train_ner --out db/ner
 
 echo "=== 3. store rebuild with the trained encoder (~6 min warm)"
-EMBEDDING_WEIGHTS_PATH=db/trained_r3/params.npz \
-EMBEDDING_VOCAB_PATH=db/trained_r3/vocab.txt \
+EMBEDDING_WEIGHTS_PATH=db/trained_r4/params.npz \
+EMBEDDING_VOCAB_PATH=db/trained_r4/vocab.txt \
 timeout 3000 python -m rag_icd10_tpu.tools.build_database --rebuild
 
 echo "=== 4. tiered retrieval eval (~10 min)"
-timeout 3000 python -m rag_icd10_tpu.tools.eval_retrieval --out EVAL_r03.json
+timeout 3000 python -m rag_icd10_tpu.tools.eval_retrieval --out EVAL_r04.json
 
 echo "=== 5. headline benchmark"
 timeout 1200 python bench.py
 
-echo "=== 6. BASELINE benchmark configs (~10 min)"
-timeout 5000 python -m benchmarks.run --config 0 --out BENCH_CONFIGS_r03.json
+echo "=== 6. BASELINE benchmark configs (~30 min; includes config 6 scan A/B"
+echo "       and config 7 int8 4M residency)"
+timeout 7000 python -m benchmarks.run --config 0 --out BENCH_CONFIGS_r04.json
 
 echo "=== 7. serving benchmark (starts its own server if none running)"
-timeout 3000 python -m benchmarks.serving --clients 32 --requests 600 \
-  --out SERVING_r03.json
+timeout 3000 python -m benchmarks.serving --clients 64 --requests 600 \
+  --out SERVING_r04.json
 
-echo "=== done — artifacts: EVAL_r03.json BENCH_CONFIGS_r03.json SERVING_r03.json"
+echo "=== done — artifacts: EVAL_r04.json BENCH_CONFIGS_r04.json SERVING_r04.json"
