@@ -166,6 +166,7 @@ class APIServer:
             max_queue=self.config.api.max_queue,
             request_timeout_s=self.config.api.request_timeout_s,
             drain_timeout_s=self.config.api.drain_timeout_s,
+            max_inflight=self.config.api.pipeline_depth,
         )
         self.batcher.start()
         logger.info("API ready on %s:%s", self.config.api.host, self.config.api.port)

@@ -115,9 +115,12 @@ class RequestBatcher:
         # compile must not wedge process teardown)
         self._executor = ThreadPoolExecutor(max_workers=1, thread_name_prefix="batcher")
         # host-stage pipelining: available when the matcher is a bound
-        # method of an object exposing the three-stage split
+        # method of an object exposing the three-stage split; depth 1
+        # (PIPELINE_DEPTH=1) disables the staged path entirely so the
+        # serving A/B compares pipelined vs the monolithic matcher, not
+        # pipelined vs staged-but-serial
         obj = getattr(matcher_fn, "__self__", None)
-        if obj is not None and all(
+        if self.max_inflight > 1 and obj is not None and all(
             hasattr(obj, s)
             for s in ("extract_stage", "device_stage", "rescore_stage")
         ):

@@ -350,6 +350,13 @@ class APIConfig:
     drain_timeout_s: float = field(
         default_factory=lambda: _env_float("DRAIN_TIMEOUT_S", 10.0)
     )
+    # host-stage pipelining depth: how many coalesced batches may be in
+    # flight at once (2 = batch n's host rescoring overlaps batch n+1's
+    # device work; 1 = strictly serial monolithic path — the A/B control
+    # for SERVING_r04.json)
+    pipeline_depth: int = field(
+        default_factory=lambda: _env_int("PIPELINE_DEPTH", 2)
+    )
     # Extra per-request search methods to pre-compile at startup
     # (comma-separated: "streaming", "chunkstream", "hnsw", "approx",
     # "fast"). Defaults

@@ -284,3 +284,28 @@ class TestDrain:
             t1.cancel()
 
         run(go())
+
+
+class TestPipelineDepthKnob:
+    def test_depth1_disables_staged_path(self):
+        """PIPELINE_DEPTH=1 is the serving A/B control: the batcher must
+        fall back to the monolithic matcher path, not staged-but-serial."""
+        m = StageMatcher(device_s=0.005, host_s=0.002)
+
+        async def go():
+            b = RequestBatcher(
+                m.match_many_texts, window_ms=5.0, max_batch=4,
+                max_inflight=1,
+            )
+            assert b.stats()["pipelined"] is False
+            b.start()
+            results = await asyncio.gather(
+                *(b.submit(f"t{i}", 5) for i in range(8))
+            )
+            await b.stop()
+            return results
+
+        results = run(go())
+        assert [r["extracted_diagnoses"] for r in results] == [
+            [f"t{i}"] for i in range(8)
+        ]
