@@ -596,7 +596,13 @@ def chunk_stream_search(
         # fold-vs-multiply fp32 rounding gap (see module docstring)
         eps = EPS_FP32_DOT * bound_scale * q_norms
     chunk_bound = cvals[:, mc - 1] + eps
-    certified = vals[:, k - 1] >= chunk_bound
+    if mc >= _cdiv(n_real, 128):
+        # every real chunk was fetched and re-scored exactly: the result
+        # is trivially exact, and the bound test (k-th vs the SMALLEST
+        # fetched chunk max) would spuriously de-certify tiny corpora
+        certified = jnp.ones((b,), bool)
+    else:
+        certified = vals[:, k - 1] >= chunk_bound
 
     if not guarantee:
         return vals, idx, certified

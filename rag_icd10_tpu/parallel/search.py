@@ -151,7 +151,12 @@ class ShardedFlatSearcher:
                     jnp.sum(q * q, axis=1, dtype=jnp.float32)
                 )
                 eps = EPS_FP32_DOT * self._bound_scale * q_norms
-                certified = vals[:, k - 1] >= cvals[:, mc - 1] + eps
+                if mc >= nc:
+                    # every chunk of this shard was fetched and re-scored
+                    # exactly — trivially exact (tiny shards)
+                    certified = jnp.ones((b,), bool)
+                else:
+                    certified = vals[:, k - 1] >= cvals[:, mc - 1] + eps
 
                 def _keep(_):
                     return vals, idx

@@ -222,3 +222,18 @@ class TestBuildDevice:
             )
             np.testing.assert_array_equal(idx_d, idx_h)
             np.testing.assert_allclose(vals_d, vals_h, rtol=1e-6)
+
+
+def test_all_chunks_fetched_certifies():
+    """mc >= nc fetches and exactly re-scores EVERY chunk — the result is
+    trivially exact and must certify (the bound test against the smallest
+    fetched chunk max would otherwise spuriously fail tiny corpora)."""
+    vecs, w, q = make_problem(n=500, d=64, b=8, seed=11)
+    store = ChunkStore.build(vecs, w, batch_hint=8, tile_cap=128)
+    nc = store.corpus.shape[0] // 128
+    vals, idx, cert = map(
+        np.asarray, search(store, q, k=10, mc=nc, interpret=True)
+    )
+    evals, eidx = brute(q, vecs, w, 10)
+    assert cert.all()
+    assert np.array_equal(idx, eidx)
