@@ -25,12 +25,13 @@ while [ $attempt -lt $MAX_ATTEMPTS ]; do
     resume=(--init-from "$OUT/params.npz")
   fi
   echo "=== attempt $attempt: target $STEPS steps ${resume[*]:-(fresh)} $(date +%H:%M:%S)" | tee -a "$LOG"
+  attempt_start_size=$(stat -c %s "$LOG")
   python -m rag_icd10_tpu.tools.train_encoder \
     --steps "$STEPS" --out "$OUT" "${resume[@]}" "$@" >> "$LOG" 2>&1 &
   pid=$!
   echo $pid > /tmp/train_watchdog.pid
   started=$(date +%s)
-  last_size=$(stat -c %s "$LOG")
+  last_size=$attempt_start_size
   last_change=$started
   wedged=0
   while kill -0 $pid 2>/dev/null; do
@@ -43,7 +44,13 @@ while [ $attempt -lt $MAX_ATTEMPTS ]; do
     else
       silent=$((now - last_change))
       limit=$SILENCE_LIMIT
-      grep -q "step .*/" "$LOG" || limit=$FIRST_STEP_GRACE
+      # Grace applies until THIS attempt logs its first step: device
+      # acquisition + compile through the tunnel is 5-15 min of silence
+      # that looks exactly like a wedge. Scope the check to log bytes
+      # appended by the current attempt (a whole-log grep matches step
+      # lines from PREVIOUS attempts and starves resumes of grace).
+      tail -c +$((attempt_start_size + 1)) "$LOG" | grep -q "step .*/" \
+        || limit=$FIRST_STEP_GRACE
       if [ $silent -gt $limit ]; then
         echo "=== WEDGE: $silent s silent, killing $pid $(date +%H:%M:%S)" | tee -a "$LOG"
         kill -9 $pid 2>/dev/null
