@@ -665,16 +665,25 @@ def main() -> None:
     for num in todo:
         name, fn = CONFIGS[num]
         t0 = time.time()
-        results[f"config{num}"] = {
-            "name": name,
-            "result": fn(cfg, corpus, vectors, weights),
-            "wall_s": round(time.time() - t0, 1),
-        }
-        print(json.dumps({f"config{num}": results[f"config{num}"]},
-                         ensure_ascii=False))
-    if args.out:
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2, ensure_ascii=False)
+        try:
+            entry = {
+                "name": name,
+                "result": fn(cfg, corpus, vectors, weights),
+                "wall_s": round(time.time() - t0, 1),
+            }
+        except Exception as exc:  # one config must not lose the rest
+            entry = {
+                "name": name,
+                "error": f"{type(exc).__name__}: {exc}",
+                "wall_s": round(time.time() - t0, 1),
+            }
+        results[f"config{num}"] = entry
+        print(json.dumps({f"config{num}": entry}, ensure_ascii=False))
+        if args.out:
+            # incremental: a wedged later config (or its timeout kill)
+            # must not lose completed measurements
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2, ensure_ascii=False)
 
 
 if __name__ == "__main__":
