@@ -409,7 +409,8 @@ class VectorStore:
             #     rows on device; the int8 matrix is the only
             #     corpus-sized array in the search path (1/4-memory
             #     serving; only the inherent row-quantization error
-            #     remains, recall@10 >= 0.99)
+            #     remains — recall@10 vs true fp32 is measured by
+            #     benchmarks/run.py config 7, not asserted here)
             #   "host" — exact fp32 re-rank against the host-resident
             #     matrix: bit-parity with the fp32 path at the cost of a
             #     host gather + einsum per batch
