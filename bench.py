@@ -23,47 +23,20 @@ os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
 
-import sys  # noqa: E402
 import time  # noqa: E402
 from functools import partial  # noqa: E402
 
 import numpy as np  # noqa: E402
 
 
-def _guard_device_acquisition(timeout_s: float):
-    """Fail fast when the TPU tunnel is down instead of hanging forever.
-
-    During an axon device-claim outage (observed 2026-08-17: 2.75 h+),
-    backend init blocks in a C++ retry loop that Python signals cannot
-    interrupt — an unguarded bench run would hang indefinitely. A daemon
-    watchdog hard-exits with a diagnostic once the deadline passes; the
-    returned event is set after jax.devices() succeeds to disarm it.
-    """
-    import threading
-
-    acquired = threading.Event()
-
-    def boom():
-        if not acquired.wait(timeout_s):
-            print(
-                json.dumps({
-                    "error": "device acquisition timed out",
-                    "timeout_s": timeout_s,
-                    "hint": "axon tunnel outage — backend init never "
-                    "returned; retry when the device claim clears",
-                }),
-                file=sys.stderr,
-                flush=True,
-            )
-            os._exit(2)
-
-    threading.Thread(target=boom, daemon=True).start()
-    return acquired
-
-
 def main() -> None:
-    guard = _guard_device_acquisition(
-        float(os.environ.get("BENCH_DEVICE_TIMEOUT_S", "600"))
+    from rag_icd10_tpu.utils import guard_device_acquisition
+
+    # fail fast when the TPU tunnel is in a device-claim outage instead
+    # of hanging the round-end bench indefinitely (utils/device_guard.py)
+    timeout_env = os.environ.get("BENCH_DEVICE_TIMEOUT_S")
+    disarm = guard_device_acquisition(
+        float(timeout_env) if timeout_env else None, what="bench.py"
     )
     import jax
     import jax.numpy as jnp
@@ -75,7 +48,7 @@ def main() -> None:
     from rag_icd10_tpu.utils import enable_compile_cache
 
     jax.devices()  # force backend init under the watchdog
-    guard.set()
+    disarm()
     enable_compile_cache()
     cfg = get_config()
 

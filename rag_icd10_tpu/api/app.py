@@ -613,6 +613,16 @@ class APIServer:
 
 
 def main() -> None:
+    from ..utils import guard_device_acquisition
+
+    # bound device acquisition: during an axon device-claim outage the
+    # server would otherwise hang forever before binding the port, which
+    # supervisors misread as a slow warmup (utils/device_guard.py)
+    disarm = guard_device_acquisition(what="serving startup")
+    import jax
+
+    jax.devices()
+    disarm()
     APIServer().run()
 
 

@@ -22,7 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-NEG_INF = jnp.float32(-1e30)
+# NB: no module-level jnp values here — materializing one initializes the
+# JAX backend at import time, which (a) defeats the entry points'
+# device-acquisition watchdogs (init starts before main() can arm them)
+# and (b) hangs library importers for the duration of a tunnel outage.
 
 
 def pad_corpus(

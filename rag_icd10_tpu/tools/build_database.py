@@ -279,9 +279,14 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
-    from ..utils import enable_compile_cache
+    from ..utils import enable_compile_cache, guard_device_acquisition
 
     enable_compile_cache()
+    disarm = guard_device_acquisition(what="database build")
+    import jax
+
+    jax.devices()  # force backend init under the outage watchdog
+    disarm()
     builder = DatabaseBuilder()
     if args.verify_only:
         ok = builder.verify_database()

@@ -62,6 +62,17 @@ while [ $attempt -lt $MAX_ATTEMPTS ]; do
   wait $pid 2>/dev/null
   rc=$?
   if [ $wedged -eq 0 ]; then
+    if [ $rc -eq 2 ] && tail -c +$((attempt_start_size + 1)) "$LOG" \
+        | grep -q "device acquisition timed out"; then
+      # device-acquisition watchdog fired inside the trainer (tunnel
+      # outage, utils/device_guard.py): retryable, same as a wedge —
+      # the attempt budget bounds total patience at ~MAX_ATTEMPTS x
+      # DEVICE_ACQUIRE_TIMEOUT_S (rc=2 without the signature stays
+      # fatal: argparse errors also exit 2)
+      echo "=== device unavailable (rc=2), retrying $(date +%H:%M:%S)" | tee -a "$LOG"
+      sleep 60
+      continue
+    fi
     echo "=== train exited rc=$rc $(date +%H:%M:%S)" | tee -a "$LOG"
     exit $rc
   fi
