@@ -32,9 +32,15 @@ def _setup():
     from rag_icd10_tpu.config import get_config
     from rag_icd10_tpu.data.corpus import load_corpus
     from rag_icd10_tpu.index.vector_store import VectorStore
-    from rag_icd10_tpu.utils import enable_compile_cache
+    from rag_icd10_tpu.utils import (
+        enable_compile_cache,
+        guard_device_acquisition,
+    )
 
     enable_compile_cache()
+    disarm = guard_device_acquisition(what="benchmark configs")
+    jax.devices()  # force backend init under the outage watchdog
+    disarm()
     cfg = get_config()
     if VectorStore.exists(cfg.store.db_path):
         store = VectorStore.load(cfg.store.db_path, config=cfg.store)

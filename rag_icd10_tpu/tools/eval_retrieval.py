@@ -35,6 +35,13 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
+    from ..utils import guard_device_acquisition
+
+    disarm = guard_device_acquisition(what="retrieval eval")
+    import jax
+
+    jax.devices()  # force backend init under the outage watchdog
+    disarm()
     from ..eval.retrieval import (
         build_eval_set,
         evaluate,

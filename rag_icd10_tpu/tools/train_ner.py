@@ -170,13 +170,17 @@ def main(argv=None) -> int:
     logging.basicConfig(
         level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s %(message)s"
     )
-    from ..utils import enable_compile_cache
+    from ..utils import enable_compile_cache, guard_device_acquisition
 
     enable_compile_cache()
+    disarm = guard_device_acquisition(what="NER training")
 
     import jax
     import jax.numpy as jnp
     import optax
+
+    jax.devices()  # force backend init under the outage watchdog
+    disarm()
 
     from ..config import get_config
     from ..data.corpus import load_corpus

@@ -54,10 +54,15 @@ def main() -> int:
 
     import jax
 
-    from rag_icd10_tpu.utils import enable_compile_cache
+    from rag_icd10_tpu.utils import (
+        enable_compile_cache,
+        guard_device_acquisition,
+    )
 
     enable_compile_cache()
-    backend = jax.default_backend()
+    disarm = guard_device_acquisition(what="tpu smoke gate")
+    backend = jax.default_backend()  # first backend touch, under the guard
+    disarm()
     if backend != "tpu" and not args.allow_cpu:
         print(f"FAIL: backend is {backend!r}, not tpu — this gate exists "
               "precisely because CPU/interpret runs do not exercise Mosaic "
