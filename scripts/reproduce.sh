@@ -38,8 +38,7 @@ echo "=== 6. BASELINE benchmark configs (~30 min; includes config 6 scan A/B"
 echo "       and config 7 int8 4M residency)"
 timeout 7000 python -m benchmarks.run --config 0 --out BENCH_CONFIGS_r04.json
 
-echo "=== 7. serving benchmark (starts its own server if none running)"
-timeout 3000 python -m benchmarks.serving --clients 64 --requests 600 \
-  --out SERVING_r04.json
+echo "=== 7. serving benchmark: pipelining on/off A/B at 64 clients"
+timeout 6000 bash scripts/serving_ab.sh SERVING_r04.json 64 600
 
 echo "=== done — artifacts: EVAL_r04.json BENCH_CONFIGS_r04.json SERVING_r04.json"
