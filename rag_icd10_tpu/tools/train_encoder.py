@@ -136,13 +136,19 @@ def draw_batch(
     seq_b: int,
     augment_prob: float,
     marker_prob: float = 0.0,
+    cousin_frac: float = 0.3,
 ):
     """Materialize one triplet batch; augmentation and hard-negative
     sampling are fresh each draw (new perturbations every epoch).
 
     marker_prob wraps the (possibly augmented) anchor in one of the
     reference's uncertainty markers — composable with other transforms
-    the way real queries compose them ("疑似心梗")."""
+    the way real queries compose them ("疑似心梗"). cousin_frac is the
+    chance a cousin (same-grandparent) title replaces the sibling hard
+    negative; 0 disables cousins entirely (the r2 recipe — the gate
+    data suggests the r3-added transforms trade paraphrase transfer
+    for uncertainty robustness, EVAL_GATE_r04.json, so the ablation
+    must be runnable from the CLI)."""
     from ..data.augment import augment_train, wrap_uncertainty
     from ..parallel.train import make_triplet_batch
 
@@ -157,9 +163,11 @@ def draw_batch(
                 a = v
         if rng.random() < marker_prob:
             a = wrap_uncertainty(a, rng)
-        # hard negative: sibling 70% of draws, cousin 30% (when present)
+        # hard negative: sibling (1-cousin_frac) of draws, cousin
+        # otherwise (when present); cousin_frac=0 never uses cousins
         pool = e.sib_titles
-        if e.cousin_titles and (not pool or rng.random() < 0.3):
+        if (cousin_frac > 0 and e.cousin_titles
+                and (not pool or rng.random() < cousin_frac)):
             pool = e.cousin_titles
         if pool:
             h = pool[int(rng.integers(0, len(pool)))]
@@ -188,6 +196,14 @@ def main(argv=None) -> int:
                         help="positive (semantic_text, p99~94 chars) length")
     parser.add_argument("--lr", type=float, default=1e-4)
     parser.add_argument("--augment-prob", type=float, default=0.4)
+    parser.add_argument(
+        "--cousin-frac", type=float, default=0.3,
+        help="fraction of hard-negative draws that use a cousin title "
+        "instead of a sibling; 0 = r2 recipe (siblings only). With "
+        "--augment-prob 0 --marker-prob 0 this reproduces the r2 "
+        "training data exactly (ablation for the paraphrase-vs-"
+        "uncertainty trade seen in EVAL_GATE_r04.json)",
+    )
     parser.add_argument(
         "--marker-prob", type=float, default=0.25,
         help="probability of wrapping an anchor in one of the reference's "
@@ -404,7 +420,7 @@ def main(argv=None) -> int:
             batch = draw_batch(
                 examples, idx, corpus.titles, title_ids, rng, tok,
                 args.seq_a, args.seq_b, args.augment_prob,
-                args.marker_prob,
+                args.marker_prob, args.cousin_frac,
             )
         params, opt_state, m = run_step(params, opt_state, batch)
         losses.append(float(m["loss"]))

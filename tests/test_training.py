@@ -87,3 +87,39 @@ class TestConvertVerify:
         convert_encoder(str(src), str(out))
         worst = verify_encoder_parity(str(src), str(out))
         assert worst >= 0.999
+
+
+class TestCousinFrac:
+    """--cousin-frac 0 must reproduce the r2 recipe (sibling-only hard
+    negatives): the ablation for the paraphrase-vs-uncertainty trade
+    recorded in EVAL_GATE_r04.json has to be a CLI flag, not a code
+    edit. Drawn negatives are observable through title_ids interning."""
+
+    def _draw(self, cousin_frac):
+        from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+        from rag_icd10_tpu.tools.train_encoder import Example, draw_batch
+
+        corpus_titles = ["胃炎", "肠炎"]
+        ex = Example(
+            anchor="霍乱", positive="霍乱 | ICD-10: A00",
+            ga=0, gb=0,
+            sib_titles=(),                 # no siblings ...
+            cousin_titles=("副霍乱",),      # ... so cousins win any frac>0
+            augment=False,
+        )
+        tok = WordPieceTokenizer.from_corpus(
+            ["霍乱", "副霍乱", "霍乱 | ICD-10: A00"] + corpus_titles
+        )
+        title_ids = {}
+        draw_batch(
+            [ex], np.zeros(8, dtype=int), corpus_titles, title_ids,
+            np.random.default_rng(0), tok, seq_a=16, seq_b=24,
+            augment_prob=0.0, marker_prob=0.0, cousin_frac=cousin_frac,
+        )
+        return title_ids
+
+    def test_zero_frac_never_draws_cousins(self):
+        assert "副霍乱" not in self._draw(0.0)
+
+    def test_positive_frac_uses_cousins_when_no_siblings(self):
+        assert "副霍乱" in self._draw(0.3)
