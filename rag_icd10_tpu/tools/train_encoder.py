@@ -241,6 +241,14 @@ def main(argv=None) -> int:
         "from). Writes <out>/eval_gate.json; exits 3 when below baseline "
         "(weights stay on disk, marked blessed=false).",
     )
+    parser.add_argument(
+        "--gate-metric", choices=("paraphrase", "blend"),
+        default="paraphrase",
+        help="what --eval-gate compares: paraphrase pipeline top-1 (the "
+        "historical bar) or the 4-tier blend (mean of exact/paraphrase/"
+        "uncertainty pipeline top-1 + multi sub-top-1) — use blend when "
+        "a candidate trades tiers (EVAL_GATE_r04.json)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -442,21 +450,44 @@ def main(argv=None) -> int:
     print(f"export EMBEDDING_VOCAB_PATH={out}/vocab.txt")
     if args.eval_gate is not None:
         blessed = run_eval_gate(
-            params, tok, corpus, out, args.eval_gate, cfg
+            params, tok, corpus, out, args.eval_gate, cfg,
+            metric=args.gate_metric,
         )
         return 0 if blessed else 3
     return 0
 
 
+def gate_metric_value(tiers: Dict, metric: str) -> float:
+    """Extract the gate's scalar from a tier report.
+
+    "paraphrase" = paraphrase pipeline top-1 (the historical bar).
+    "blend" = unweighted mean of the four tier headline scores
+    (exact/paraphrase/uncertainty pipeline top-1 + multi-diagnosis
+    sub-diagnosis top-1) — EVAL_GATE_r04.json showed a candidate losing
+    the paraphrase bar while beating the incumbent on two other tiers;
+    a blend lets a round decide that trade explicitly.
+    """
+    if metric == "paraphrase":
+        return float(tiers["paraphrase"]["pipeline_top1"])
+    if metric == "blend":
+        return float(np.mean([
+            tiers["exact_title"]["pipeline_top1"],
+            tiers["paraphrase"]["pipeline_top1"],
+            tiers["uncertainty"]["pipeline_top1"],
+            tiers["multi_diagnosis"]["sub_diagnosis_top1"],
+        ]))
+    raise ValueError(f"unknown gate metric {metric!r}")
+
+
 def run_eval_gate(params, tok, corpus, out: Path, baseline_arg: str,
-                  cfg) -> bool:
+                  cfg, metric: str = "paraphrase") -> bool:
     """Post-training quality gate (round-3 lesson: ~5 h of chip time
     shipped an unevaluated regression because nothing forced an eval).
 
     Embeds the corpus with the freshly trained weights, builds an
     in-memory store + the full matcher, runs the tiered retrieval eval,
-    and compares paraphrase pipeline top-1 against the incumbent. The
-    result lands in <out>/eval_gate.json with a blessed flag; callers
+    and compares the gate metric against the incumbent. The result
+    lands in <out>/eval_gate.json with a blessed flag; callers
     (scripts/reproduce.sh) must not pair a store with unblessed weights.
     """
     import json
@@ -479,9 +510,7 @@ def run_eval_gate(params, tok, corpus, out: Path, baseline_arg: str,
         except ValueError:
             with open(baseline_arg) as f:
                 incumbent = json.load(f)
-            baseline = float(
-                incumbent["tiers"]["paraphrase"]["pipeline_top1"]
-            )
+            baseline = gate_metric_value(incumbent["tiers"], metric)
     logger.info("eval gate: embedding %d semantic texts with the trained "
                 "weights (baseline %.4f)", len(corpus), baseline or -1.0)
     params_host = jax.device_get(params)
@@ -497,20 +526,22 @@ def run_eval_gate(params, tok, corpus, out: Path, baseline_arg: str,
     )
     tiers = build_eval_set(corpus)
     report = evaluate(encoder, store, matcher=matcher, tiers=tiers)
-    para = float(report["tiers"]["paraphrase"]["pipeline_top1"])
-    blessed = baseline is None or para >= baseline
+    candidate = gate_metric_value(report["tiers"], metric)
+    blessed = baseline is None or candidate >= baseline
     gate = {
         "tiers": report["tiers"],
-        "gate_metric": "paraphrase.pipeline_top1",
-        "candidate": para,
+        "gate_metric": ("paraphrase.pipeline_top1" if metric == "paraphrase"
+                        else "blend(4-tier mean)"),
+        "candidate": candidate,
         "baseline": baseline,
         "blessed": blessed,
     }
     with open(out / "eval_gate.json", "w") as f:
         json.dump(gate, f, ensure_ascii=False, indent=1)
     logger.info(
-        "eval gate: paraphrase pipeline top-1 %.4f vs baseline %s -> %s",
-        para, baseline, "BLESSED" if blessed else "REJECTED",
+        "eval gate: %s %.4f vs baseline %s -> %s",
+        gate["gate_metric"], candidate, baseline,
+        "BLESSED" if blessed else "REJECTED",
     )
     return blessed
 

@@ -99,3 +99,49 @@ class TestRunEvalGate:
             incumbent = json.load(f)
         bar = float(incumbent["tiers"]["paraphrase"]["pipeline_top1"])
         assert 0.5 < bar <= 1.0  # a real, demanding bar
+
+    def test_blend_metric_gate(self, gate_env, tmp_path):
+        """--gate-metric blend: 4-tier mean on both sides of the bar."""
+        params, tok, corpus, cfg = gate_env
+        blessed = run_eval_gate(params, tok, corpus, tmp_path, "0.0", cfg,
+                                metric="blend")
+        assert blessed is True
+        gate = json.loads((tmp_path / "eval_gate.json").read_text())
+        assert gate["gate_metric"] == "blend(4-tier mean)"
+        t = gate["tiers"]
+        expected = (
+            t["exact_title"]["pipeline_top1"]
+            + t["paraphrase"]["pipeline_top1"]
+            + t["uncertainty"]["pipeline_top1"]
+            + t["multi_diagnosis"]["sub_diagnosis_top1"]
+        ) / 4
+        assert gate["candidate"] == pytest.approx(expected)
+
+
+class TestGateMetricValue:
+    def test_blend_on_real_artifacts(self):
+        """The r4 candidate loses the paraphrase bar but the blend is a
+        near-tie — exactly the trade the blend metric exists to expose.
+        Pin both computations on the committed artifacts."""
+        from rag_icd10_tpu.tools.train_encoder import gate_metric_value
+
+        with open("EVAL_r02.json") as f:
+            incumbent = json.load(f)["tiers"]
+        with open("EVAL_GATE_r04.json") as f:
+            candidate = json.load(f)["tiers"]
+        assert gate_metric_value(incumbent, "paraphrase") == pytest.approx(
+            0.9125)
+        assert gate_metric_value(candidate, "paraphrase") == pytest.approx(
+            0.8825)
+        # incumbent blend (.9875+.9125+.9667+.96)/4, candidate
+        # (.9825+.8825+.9533+.9867)/4 — candidate still loses, narrowly
+        assert gate_metric_value(incumbent, "blend") == pytest.approx(
+            0.956675, abs=1e-4)
+        assert gate_metric_value(candidate, "blend") == pytest.approx(
+            0.95125, abs=1e-4)
+
+    def test_unknown_metric_raises(self):
+        from rag_icd10_tpu.tools.train_encoder import gate_metric_value
+
+        with pytest.raises(ValueError):
+            gate_metric_value({}, "qps")
