@@ -267,7 +267,7 @@ def gather_rescore(
             in_specs=[
                 pl.BlockSpec((QB, d), lambda i, ids: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(memory_space=pltpu.ANY),  # corpus stays in HBM
+                pl.BlockSpec(memory_space=pl.ANY),  # corpus stays in HBM
             ],
             out_specs=pl.BlockSpec((QB, mc * 128), lambda i, ids: (i, 0),
                                    memory_space=pltpu.VMEM),
