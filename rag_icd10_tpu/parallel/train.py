@@ -186,14 +186,23 @@ def init_train_state(
     learning_rate: float = 2e-5,
     seed: int = 0,
     optimizer=None,
+    params=None,
+    opt_state=None,
 ):
     """Initialize (params, opt_state, optimizer), device-sharded if a mesh
     is given. Pass ``optimizer`` to keep a caller-built schedule (e.g.
-    warmup-cosine) instead of the plain adamw default."""
-    params = init_params(arch, seed=seed)
+    warmup-cosine) instead of the plain adamw default. Pass ``params``
+    (and optionally a restored ``opt_state``) to shard an existing
+    host-side state instead of re-initializing — a warm start / resume
+    must survive the dp path (train_encoder --dp --init-from used to
+    silently discard the checkpoint here and gate freshly random
+    weights)."""
+    if params is None:
+        params = init_params(arch, seed=seed)
     if optimizer is None:
         optimizer = optax.adamw(learning_rate, weight_decay=0.01)
-    opt_state = optimizer.init(params)
+    if opt_state is None:
+        opt_state = optimizer.init(params)
     if mesh is not None:
         # multihost-aware placement: identical (deterministic-seed) host
         # values on every process; each materializes only its shards

@@ -349,10 +349,13 @@ def main(argv=None) -> int:
         from ..parallel.train import init_train_state, make_sharded_train_step
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
-        # keep the warmup-cosine optimizer and --seed (init_train_state
-        # would otherwise rebuild both with defaults)
+        # keep the warmup-cosine optimizer, --seed AND any warm-started /
+        # resumed state: passing params/opt_state makes init_train_state
+        # shard the existing host trees instead of re-initializing (it
+        # used to silently discard --init-from on the dp path)
         params, opt_state, optimizer = init_train_state(
-            arch, mesh=mesh, seed=args.seed, optimizer=optimizer
+            arch, mesh=mesh, seed=args.seed, optimizer=optimizer,
+            params=params, opt_state=opt_state,
         )
         step_fn = make_sharded_train_step(arch, mesh, optimizer)
         b_shard = batch_sharding(mesh)

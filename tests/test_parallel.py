@@ -94,6 +94,37 @@ class TestTraining:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
 
+    def test_sharded_init_keeps_warm_started_state(self):
+        """--dp --init-from must resume from the checkpoint: passing
+        params/opt_state into init_train_state shards the existing host
+        trees instead of re-initializing (this used to silently discard
+        the warm start and train — and eval-gate — fresh random weights)."""
+        host_params = init_params(TINY, seed=123)
+        optimizer = optax.adamw(1e-4)
+        host_opt = optimizer.init(host_params)
+        mesh = make_mesh(n_devices=8, dp=2, tp=4)
+        params, opt_state, optimizer = init_train_state(
+            TINY, mesh=mesh, seed=0, optimizer=optimizer,
+            params=host_params, opt_state=host_opt,
+        )
+        fresh = init_params(TINY, seed=0)
+        flat_got = jax.tree_util.tree_leaves(jax.device_get(params))
+        flat_want = jax.tree_util.tree_leaves(host_params)
+        flat_fresh = jax.tree_util.tree_leaves(fresh)
+        assert any(
+            not np.allclose(g, f)
+            for g, f in zip(flat_want, flat_fresh)
+        ), "seeds 123 vs 0 should differ — test is vacuous otherwise"
+        for got, want in zip(flat_got, flat_want):
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # the sharded state must still drive a step
+        step = make_sharded_train_step(TINY, mesh, optimizer)
+        batch = tiny_batch(b=8)
+        b_shard = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, b_shard) for k, v in batch.items()}
+        params, opt_state, metrics = step(params, opt_state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+
     def test_sharded_step_runs_and_matches_semantics(self):
         mesh = make_mesh(n_devices=8, dp=2, tp=4)
         params, opt_state, optimizer = init_train_state(TINY, mesh=mesh)
