@@ -56,7 +56,7 @@ class QueryRequest(BaseModel):
     search_method: Optional[str] = Field(
         default=None,
         description="检索方法覆盖",
-        pattern="^(exact|approx|fast|streaming|chunkstream|hnsw)$",
+        pattern="^(exact|approx|fast|streaming|chunkstream|sketch|hnsw)$",
     )
     ef_search: Optional[int] = Field(
         default=None, description="HNSW beam宽度覆盖", ge=1, le=4096

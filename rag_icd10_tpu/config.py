@@ -143,11 +143,25 @@ class StoreConfig:
         default_factory=lambda: _env("SEARCH_METHOD", "exact")
     )
     # device residency dtype for the corpus matrix: float32 (exact),
-    # bfloat16 (half the HBM, ~3e-3 relative score error), or int8
+    # bfloat16 (half the HBM, ~3e-3 relative score error), int8
     # (quarter the HBM, per-row scales, int8 MXU; ~1e-2 error,
-    # recall@10 >= 0.99 — ops/quantized.py)
+    # recall@10 >= 0.99 — ops/quantized.py), or "host" (beyond-HBM
+    # capacity tier, ops/sketch.py: only a SKETCH_DIM-dim int8 screen is
+    # device-resident at ~SKETCH_DIM+12 bytes/row; the fp32 matrix stays
+    # in host RAM and serves candidate rows to an exact re-rank —
+    # selection approximate, scores exact, the HNSW contract)
     device_dtype: str = field(
         default_factory=lambda: _env("STORE_DEVICE_DTYPE", "float32")
+    )
+    # capacity-tier screen knobs (device_dtype="host" or per-request
+    # method="sketch"): projection width, basis ("pca" fit on a corpus
+    # sample — concentrates the 8 bits on directions the corpus uses —
+    # or data-free "random" JL), and screen over-fetch m (0 = auto
+    # max(8k, 64))
+    sketch_dim: int = field(default_factory=lambda: _env_int("SKETCH_DIM", 128))
+    sketch_proj: str = field(default_factory=lambda: _env("SKETCH_PROJ", "pca"))
+    sketch_fetch: int = field(
+        default_factory=lambda: _env_int("SKETCH_FETCH", 0)
     )
     # pass-1 scan mode for the "chunkstream" search method
     # (ops/chunk_stream.py): "xla" (fp32 HIGHEST dot + fused chunk-max —

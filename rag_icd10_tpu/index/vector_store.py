@@ -125,6 +125,7 @@ class VectorStore:
         self._bound_scale = None  # w_max * max row norm (method="fast")
         self._max_row_norm = None  # unweighted max row norm (bf16 bound)
         self._chunkstore = None  # ops/chunk_stream state (method="chunkstream")
+        self._sketch = None  # ops/sketch screen (method="sketch" / host tier)
         self._loaded = False
         self._searches = 0
         self._created_at = time.time()
@@ -234,6 +235,17 @@ class VectorStore:
         if self._vectors is None or self.corpus is None:
             return False
         weights = self.corpus.level_weights(self.config.level_weights)
+        if self.config.device_dtype == "host":
+            # capacity tier (ops/sketch.py): the only device residency is
+            # the d_sketch-dim int8 screen (~d_sketch+12 bytes/row); the
+            # full-width matrix stays host-resident and serves candidate
+            # rows to the exact re-rank. Overrides sharding — the host
+            # tier is the single-chip beyond-HBM answer; beyond one HOST,
+            # row-shard the sketch the same way the corpus shards.
+            self._ensure_sketch()
+            self._dev = None
+            self._loaded = True
+            return True
         if self._use_sharded():
             from jax.sharding import Mesh
 
@@ -289,6 +301,7 @@ class VectorStore:
         self._dev = None
         self._sharded = None
         self._chunkstore = None
+        self._sketch = None
         self._loaded = False
         return True
 
@@ -308,6 +321,22 @@ class VectorStore:
                 scan_dtype=scan if scan in ("bf16", "int8") else "fp32",
             )
         return self._chunkstore
+
+    def _ensure_sketch(self):
+        """Lazily build the device sketch screen (ops/sketch.py) — the
+        residency of STORE_DEVICE_DTYPE=host, or an on-demand A/B path
+        when method="sketch" is requested on a resident store."""
+        if self._sketch is None:
+            from ..ops.sketch import build_sketch
+
+            weights = self.corpus.level_weights(self.config.level_weights)
+            self._sketch = build_sketch(
+                self._vectors, weights,
+                d_sketch=self.config.sketch_dim,
+                kind=self.config.sketch_proj,
+                pad_multiple=self.config.pad_multiple,
+            )
+        return self._sketch
 
     def clear_collection(self) -> bool:
         self.release_collection()
@@ -342,12 +371,18 @@ class VectorStore:
         which handles one query; here B queries cost one device call).
 
         ``method`` ("exact"/"approx"/"fast"/"streaming"/"chunkstream"/
-        "hnsw") and ``ef_search`` (HNSW beam
+        "sketch"/"hnsw") and ``ef_search`` (HNSW beam
         width) are per-request overrides of the config defaults — the
         reference exposes the same knobs through its Milvus index params
         (README_MILVUS_CONFIG.md). "chunkstream" is the huge-corpus
         streaming path (ops/chunk_stream.py): certified chunk-select
-        with a CHUNKSTREAM_SCAN-dtype pass 1 and exact fp32 pass 2."""
+        with a CHUNKSTREAM_SCAN-dtype pass 1 and exact fp32 pass 2.
+        "sketch" is the beyond-HBM capacity tier (ops/sketch.py): device
+        int8 sketch screen + host-row exact re-rank — the resident path
+        when STORE_DEVICE_DTYPE=host."""
+        requested = method  # per-request override, pre-default (host tier
+        # rejects explicit exactness-promising methods but serves its own
+        # default through the sketch screen)
         method = method or self.config.search_method
         # device (jax) query arrays are accepted and stay on device for
         # the flat scan paths — the serving hot path feeds the encoder
@@ -396,6 +431,30 @@ class VectorStore:
             vals, idx = self._sharded.search(
                 q_pad, k=k_pad, method="auto" if method == "exact" else method
             )
+        elif method == "sketch" or self.config.device_dtype == "host":
+            # capacity tier (ops/sketch.py): device int8 sketch screen +
+            # host-row exact fp32 re-rank. Selection is approximate
+            # (screen recall measured by bench config 9); returned scores
+            # are exact — the HNSW contract, at beyond-HBM corpus sizes.
+            if self.config.device_dtype == "host" and requested not in (
+                None, "sketch", "hnsw",
+            ):
+                raise ValueError(
+                    f"method={requested!r} promises full-precision "
+                    "residency the host tier does not keep; host-resident "
+                    "stores serve method='sketch' (or 'hnsw')"
+                )
+            sk = self._ensure_sketch()
+            weights_h = self.corpus.level_weights(self.config.level_weights)
+            from ..ops.sketch import sketch_search_host_rerank
+
+            m = self.config.sketch_fetch or 0
+            vals, idx = sketch_search_host_rerank(
+                sk, self._vectors, weights_h, np.asarray(q_pad), k=k_eff,
+                m=m,
+            )
+            self._searches += b
+            return self.build_hits(vals[:b], idx[:b])
         elif self._dev is not None and "corpus_q" in self._dev:
             if method == "chunkstream":
                 raise ValueError(
@@ -771,6 +830,13 @@ class VectorStore:
         device_bytes = self.num_entities * self.dim * per_elem
         if self.config.device_dtype == "int8":
             device_bytes += self.num_entities * 4  # per-row scales
+        if self.config.device_dtype == "host":
+            # capacity tier: only the sketch screen is device-resident
+            device_bytes = (
+                self._sketch.device_bytes
+                if self._sketch is not None
+                else self.num_entities * (self.config.sketch_dim + 12)
+            )
         return {
             "num_entities": self.num_entities,
             "dim": self.dim,

@@ -246,7 +246,8 @@ class Engine:
             t0 = time.time()
             if method == "hnsw":
                 self.store.build_hnsw()
-            elif method in ("streaming", "chunkstream", "approx", "exact", "fast"):
+            elif method in ("streaming", "chunkstream", "sketch", "approx",
+                            "exact", "fast"):
                 for size in sizes:
                     q = rng.standard_normal((size, self.store.dim)).astype(
                         np.float32

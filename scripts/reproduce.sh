@@ -34,9 +34,9 @@ timeout 3000 python -m rag_icd10_tpu.tools.eval_retrieval --out EVAL_r04.json
 echo "=== 5. headline benchmark"
 timeout 1200 python bench.py
 
-echo "=== 6. BASELINE benchmark configs (~30 min; includes config 6 scan A/B"
-echo "       and config 7 int8 4M residency)"
-timeout 7000 python -m benchmarks.run --config 0 --out BENCH_CONFIGS_r04.json
+echo "=== 6. BASELINE benchmark configs (~75 min; includes config 6 scan A/B,"
+echo "       config 7/8 int8 residency and config 9 host-tier at 16M rows)"
+timeout 10800 python -m benchmarks.run --config 0 --out BENCH_CONFIGS_r04.json
 
 echo "=== 7. serving benchmark: pipelining on/off A/B at 64 clients"
 timeout 6000 bash scripts/serving_ab.sh SERVING_r04.json 64 600
