@@ -201,6 +201,7 @@ class VectorStore:
         self._bound_scale = None
         self._max_row_norm = None
         self._chunkstore = None
+        self._sketch = None  # screen covers only the old rows
         return len(records)
 
     # ----------------------------------------------------------- lifecycle

@@ -172,6 +172,22 @@ class TestHostResidency:
         store.release_collection()
         assert store._sketch is None
 
+    def test_append_invalidates_sketch_and_finds_new_rows(self):
+        """insert_records must drop the screen: a stale sketch can never
+        surface appended rows (they don't exist in its index space)."""
+        store, v, _ = _store(device_dtype="host", sketch_dim=64)
+        rng = np.random.default_rng(9)
+        nv = rng.standard_normal((1, v.shape[1])).astype(np.float32)
+        nv /= np.linalg.norm(nv)
+        store.search(nv, top_k=5)  # builds the screen over the OLD rows
+        from rag_icd10_tpu.data.corpus import synthetic_corpus
+
+        rec = list(synthetic_corpus(1, seed=77).records())
+        store.insert_records(rec, nv)
+        assert store._sketch is None
+        hits = store.search(nv, top_k=5)  # exact self-match must win
+        assert hits[0][0].id == store.num_entities - 1
+
 
 class TestSketchAsPerRequestMethod:
     def test_on_fp32_store_matches_exact(self):
