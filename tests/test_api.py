@@ -280,6 +280,18 @@ class TestSearchKnobs:
             c["code"] for c in baseline["candidates"]
         ]
 
+    def test_sketch_method_via_api(self, client):
+        """search_method=sketch (beyond-HBM capacity tier screen,
+        ops/sketch.py) serves through /query and agrees with the exact
+        path on this tiny corpus."""
+        baseline = post(client, "/query", {"text": "急性胃肠炎", "top_k": 3})[1]
+        status, j = post(client, "/query", {
+            "text": "急性胃肠炎", "top_k": 3, "search_method": "sketch"})
+        assert status == 200, j
+        assert [c["code"] for c in j["candidates"]] == [
+            c["code"] for c in baseline["candidates"]
+        ]
+
     def test_invalid_method_rejected(self, client):
         status, j = post(client, "/query", {
             "text": "急性胃肠炎", "search_method": "bogus"})
