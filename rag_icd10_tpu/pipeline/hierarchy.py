@@ -398,12 +398,19 @@ class HierarchicalSimilarityService:
         # tie with the exact match at the 1.8 cap, and the reference's
         # stable sort then keeps the raw weighted order, which the x1.2
         # level weights bias toward level-1/2 siblings over the exact
-        # level-3 row.
+        # level-3 row. Tertiary (same divergence class): at EQUAL capped
+        # score among non-exact candidates, the raw weighted similarity
+        # orders them — the 1.8 cap otherwise erases the retrieval signal
+        # entirely and near-identical siblings rank arbitrarily above the
+        # true nearest row (measured: ~40% of the incumbent's paraphrase
+        # misses were a capped gold at rank 2-3 behind a sibling with
+        # LOWER raw similarity).
         q = processed_query.strip()
         results.sort(
             key=lambda x: (
                 x[1],
                 x[0].get("preferred_zh", "").strip() == q,
+                float(x[0].get("original_score", x[0].get("score", 0.0))),
             ),
             reverse=True,
         )

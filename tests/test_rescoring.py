@@ -124,6 +124,39 @@ class TestHierarchy:
             assert "enhanced_score" in rec and rec["enhanced_score"] == score
             assert isinstance(factors, SimilarityFactors)
 
+    def test_capped_tie_breaks_on_raw_similarity(self):
+        # Two non-exact siblings that both saturate the 1.8 cap: the cap
+        # erases the enhanced-score signal, so the tertiary sort key must
+        # fall back to the raw weighted similarity regardless of the
+        # insertion order (the reference's stable sort keeps arbitrary
+        # order here — documented divergence, hierarchy.py sort comment).
+        base = make_candidates()[0]
+        lo = dict(base, id=10, code="I21.1", preferred_zh="急性前壁心肌梗死", score=1.69)
+        hi = dict(base, id=11, code="I21.2", preferred_zh="急性下壁心肌梗死", score=1.70)
+        query = "急性心肌梗死心脏高血压心肌"
+        for order in ([lo, hi], [hi, lo]):
+            results = self.svc.batch_calculate_similarities(
+                query, QUERY_ENTITIES, order
+            )
+            scores = [s for _, s, _ in results]
+            assert scores == [1.8, 1.8], "premise: both candidates cap at 1.8"
+            assert results[0][0]["code"] == "I21.2"
+
+    def test_exact_title_outranks_capped_sibling(self):
+        # Secondary key: an exact-title candidate beats a non-exact one at
+        # equal capped score even when its raw similarity is LOWER.
+        base = make_candidates()[0]
+        exact = dict(base, id=20, code="I21.9", preferred_zh="急性心肌梗死心脏高血压心肌", score=1.60)
+        sibling = dict(base, id=21, code="I21.1", preferred_zh="急性前壁心肌梗死", score=1.75)
+        query = "急性心肌梗死心脏高血压心肌"
+        for order in ([sibling, exact], [exact, sibling]):
+            results = self.svc.batch_calculate_similarities(
+                query, QUERY_ENTITIES, order
+            )
+            scores = [s for _, s, _ in results]
+            assert scores == [1.8, 1.8], "premise: both candidates cap at 1.8"
+            assert results[0][0]["code"] == "I21.9"
+
     def test_semantic_coherence_excess_only(self):
         f = SimilarityFactors(vector_similarity=0.8, semantic_coherence=0.9)
         s_with = self.svc._weighted_score(f)
