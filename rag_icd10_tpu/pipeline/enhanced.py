@@ -9,7 +9,18 @@ Behavioral spec (reference: services/enhanced_text_processor.py):
   (excluding commas inside full-width parens) then +＋; then medical-keyword
   split (既往 病史 术后 治疗 保守 规律 控制)
 - sub-split (:206-260): boundary spans holding >1 disease entity split at
-  disease-entity starts (with up to 10 chars of leading context)
+  disease-entity starts (with up to 10 chars of leading context).
+  Documented divergence: the reference splits UNCONDITIONALLY between
+  entities, but its greedy NER pattern chops a single long title at every
+  internal 病/症/瘤/综合征 suffix, so one-diagnosis inputs like
+  "...淋巴瘤[恶性免疫增生性疾病]" get mangled into two fragments that
+  can never match the full corpus title (measured: the #1 remaining
+  paraphrase-tier failure mode). We split only when the text BETWEEN two
+  consecutive disease entities contains a real separator — whitespace,
+  list punctuation, or a clinical connective (伴/并/及/合并/继发/和/与/
+  术后) — and merge contiguous entities into one diagnosis otherwise.
+  Genuine multi-diagnosis inputs ("A病伴B", "A病，B症", "A病 B症") still
+  split exactly as the reference does.
 - per-diagnosis confidence (:280-318): 0.3 + boundary_conf*0.3 +
   weighted-entity-avg*0.4 (disease x1.2, symptom x0.8, other x0.6) +
   length bonus (4<=len<=20: +0.1, len<2: -0.2) + density bonus (+0.1 when
@@ -285,15 +296,30 @@ class EnhancedTextProcessor:
         ]
         if len(diseases) <= 1:
             return whole
-        subs: List[Dict] = []
         diseases.sort(key=lambda e: e.get("start", 0))
+        # Group contiguous entities: split only across a real separator
+        # (see module docstring "Documented divergence").
+        groups: List[List[Dict]] = [[diseases[0]]]
+        for prev, ent in zip(diseases, diseases[1:]):
+            gap_lo = prev.get("end", b_start) - b_start
+            gap_hi = ent.get("start", b_start) - b_start
+            gap = boundary_text[max(gap_lo, 0) : max(gap_hi, 0)]
+            if self._gap_is_separator(gap):
+                groups.append([ent])
+            else:
+                groups[-1].append(ent)
+        if len(groups) <= 1:
+            return whole
+        subs: List[Dict] = []
         prev_end = b_start
-        for i, ent in enumerate(diseases):
-            e_start = ent.get("start", b_start)
-            e_end = ent.get("end", e_start + len(ent.get("text", "")))
+        for i, group in enumerate(groups):
+            e_start = group[0].get("start", b_start)
+            g_end = group[-1].get(
+                "end", e_start + len(group[-1].get("text", ""))
+            )
             seg_end = (
-                min(diseases[i + 1].get("start", b_end), b_end)
-                if i < len(diseases) - 1
+                min(groups[i + 1][0].get("start", b_end), b_end)
+                if i < len(groups) - 1
                 else b_end
             )
             seg_start = max(prev_end, e_start - 10)
@@ -307,8 +333,20 @@ class EnhancedTextProcessor:
                         "entities": self._entities_in(entities, seg_start, seg_end),
                     }
                 )
-            prev_end = e_end
+            prev_end = g_end
         return subs or whole
+
+    @staticmethod
+    def _gap_is_separator(gap: str) -> bool:
+        """True when the text between two disease entities marks a real
+        diagnosis boundary: whitespace, list punctuation, or a clinical
+        connective. An empty or plain-infix gap (e.g. the 性 in
+        2型糖尿病性视网膜病) means the NER regex chopped one title."""
+        if any(ch.isspace() for ch in gap):
+            return True
+        if any(p in gap for p in "，,、；;+＋。.："):
+            return True
+        return any(c in gap for c in ("伴", "并", "及", "继发", "和", "与", "术后"))
 
     @staticmethod
     def _entities_in(

@@ -275,6 +275,32 @@ class TestEnhancedProcessor:
         texts = proc.extract_diagnoses_simple("肺炎；心功能不全")
         assert len(texts) == 2
 
+    @pytest.mark.parametrize(
+        "title",
+        [
+            # single corpus titles whose internal 病/症/瘤 suffixes make the
+            # greedy NER regex emit >1 disease entity; the contiguous-entity
+            # grouping must keep them whole (enhanced.py sub-split divergence)
+            "产后垂体功能不全综合征[席恩综合征]",
+            "其他B细胞淋巴瘤[恶性免疫增生性疾病]",
+            "分类于他处的疾病引起的皮肤角化病",
+            "NK细胞淋巴母细胞性白血病/淋巴瘤伴缓解",
+            "2型糖尿病性增殖性新生血管化性视网膜病",
+        ],
+    )
+    def test_single_title_not_subsplit(self, proc, title):
+        results = proc.extract_diagnoses_enhanced(title)
+        texts = [r["text"] for r in results]
+        assert texts == [title]
+
+    def test_separated_entities_still_subsplit(self, proc):
+        # whitespace between entities = real boundary even without ，/；
+        results = proc.extract_diagnoses_enhanced("慢性肾功能不全 高血压病3级 糖尿病")
+        texts = [r["text"] for r in results]
+        assert any("高血压" in t for t in texts)
+        assert any(t == "糖尿病" or "糖尿病" in t for t in texts)
+        assert len(texts) >= 2
+
     def test_jaccard_dedup(self):
         assert char_jaccard("急性胃肠炎", "急性胃肠炎") == 1.0
         assert char_jaccard("abc", "xyz") == 0.0
