@@ -78,19 +78,25 @@ class EvalTier:
     cases: List[EvalCase] = field(default_factory=list)
 
 
-def _title_sample(corpus, n: int, seed: int, min_len: int = 2) -> List[int]:
-    """Deterministic sample of record indices. Titles the pipeline's OWN
-    separator regex would split (pipeline/textproc.py SEPARATOR_RE — the
-    canonical definition, including all whitespace classes) are excluded
-    from EVERY tier: such queries are ambiguous-by-design and measure the
-    split contract, not retrieval quality."""
+def _title_sample(
+    corpus, n: int, seed: int, min_len: int = 2, filter_separators: bool = True
+) -> List[int]:
+    """Deterministic sample of record indices. With filter_separators,
+    titles the pipeline's OWN separator regex would split
+    (pipeline/textproc.py SEPARATOR_RE — the canonical definition,
+    including all whitespace classes) are excluded: such TRANSFORMED
+    queries are ambiguous-by-design and measure the split contract, not
+    retrieval quality. The exact tier samples WITHOUT the filter — a
+    verbatim corpus title is never split (the extraction exact-title
+    bypass, enhanced.py _is_known_title), so every title is fair game."""
     from ..pipeline.textproc import SEPARATOR_RE
 
     rng = np.random.default_rng(seed)
     idx = [
         i
         for i, t in enumerate(corpus.titles)
-        if len(t) >= min_len and SEPARATOR_RE.search(t) is None
+        if len(t) >= min_len
+        and (not filter_separators or SEPARATOR_RE.search(t) is None)
     ]
     rng.shuffle(idx)
     return idx[:n]
@@ -115,8 +121,12 @@ def build_eval_set(
     rng = np.random.default_rng(seed)
 
     # --- exact_title ------------------------------------------------------
+    # sampled from ALL titles, including the 3,838 with separator chars:
+    # the exact-title extraction bypass makes every verbatim title a fair
+    # query (tier membership changed in round 4 — not comparable to
+    # pre-r4 exact-tier numbers)
     exact = EvalTier("exact_title")
-    for i in _title_sample(corpus, n_exact, seed):
+    for i in _title_sample(corpus, n_exact, seed, filter_separators=False):
         exact.cases.append(EvalCase(corpus.titles[i], gold(i), corpus.titles[i]))
     tiers.append(exact)
 
@@ -149,12 +159,35 @@ def build_eval_set(
     # parts must not contain separator chars themselves, or the extraction
     # split makes the case unsolvable regardless of retrieval quality
     multi = EvalTier("multi_diagnosis")
-    pool = _title_sample(corpus, n_multi * 3, seed + 3, min_len=3)
+    from ..pipeline.boundary import (
+        CONNECTION_PATTERNS,
+        DISEASE_TERM_RE,
+        QUALIFIER_TAIL_RE,
+    )
+
+    def would_merge(t: str) -> bool:
+        # titles the boundary detector would merge INTO the previous
+        # segment (connection markers, or qualifier-shaped with no disease
+        # term) make a joined case unsolvable regardless of retrieval
+        if any(p.search(t) for p in CONNECTION_PATTERNS):
+            return True
+        return bool(
+            QUALIFIER_TAIL_RE.search(t) and not DISEASE_TERM_RE.search(t)
+        )
+
+    pool = [
+        i
+        for i in _title_sample(corpus, n_multi * 6, seed + 3, min_len=3)
+        if not would_merge(corpus.titles[i])
+    ][: n_multi * 3]
     for group, j in enumerate(range(0, min(len(pool) - 2, n_multi * 3 - 2), 3)):
         if len(multi.cases) >= n_multi:
             break
         parts = [corpus.titles[i] for i in pool[j : j + (2 if j % 2 else 3)]]
         sep = MULTI_SEPARATORS[group % len(MULTI_SEPARATORS)]
+        if sep == "+" and any(p and p[-1].isascii() and p[-1].isalnum()
+                              for p in parts[:-1]):
+            sep = "，"  # alnum+ never splits (immunophenotype rule)
         query = sep.join(parts)
         # one EvalCase per sub-diagnosis, all sharing the joined query
         for i in pool[j : j + len(parts)]:

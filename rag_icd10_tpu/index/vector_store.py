@@ -117,6 +117,7 @@ class VectorStore:
         self.dim = dim
         self.corpus: Optional[ICDCorpus] = None
         self._vectors: Optional[np.ndarray] = None  # host (N, D) fp32
+        self._title_rows: Optional[Dict[str, List[int]]] = None
         # device-resident state (set by load_collection)
         self._dev = None  # dict(corpus, weights, mask) of jax arrays
         self._sharded = None  # ShardedFlatSearcher (multi-device corpus)
@@ -202,7 +203,55 @@ class VectorStore:
         self._max_row_norm = None
         self._chunkstore = None
         self._sketch = None  # screen covers only the old rows
+        self._title_rows = None  # exact-title map misses the new rows
         return len(records)
+
+    # ------------------------------------------------- exact-title lookup
+
+    def exact_title_hits(
+        self, title: str, query_vec: np.ndarray, max_rows: int = 3
+    ) -> List[SearchHit]:
+        """Rows whose title is verbatim ``title``, scored against
+        ``query_vec`` with the standard weighted-score convention.
+
+        The rescoring stack's exact-match floor (hierarchy.py, 1.5) can
+        only fire on a FETCHED candidate; short generic titles at level 3
+        (weight 0.8) can be buried below the over-fetch horizon by x1.2
+        level-weighted near-duplicates (the reference has the same blind
+        spot — its extractor and Milvus scan never see the title list).
+        The orchestrator injects these rows into the candidate set so a
+        verbatim-title query always reaches its own row."""
+        if self.corpus is None or self._vectors is None:
+            return []
+        if getattr(self, "_title_rows", None) is None:
+            rows: Dict[str, List[int]] = {}
+            for j, t in enumerate(self.corpus.titles):
+                rows.setdefault(t.strip(), []).append(j)
+            self._title_rows = rows
+        idxs = self._title_rows.get(title.strip(), ())
+        weights = self.corpus.level_weights(self.config.level_weights)
+        q = np.asarray(query_vec, dtype=np.float32).reshape(-1)
+        hits = []
+        for j in idxs[:max_rows]:
+            raw = float(self._vectors[j] @ q)
+            w = float(weights[j]) or 1.0
+            hits.append(
+                SearchHit(
+                    id=j,
+                    code=self.corpus.codes[j],
+                    preferred_zh=self.corpus.titles[j],
+                    score=raw * w,
+                    original_score=raw,
+                    level=int(self.corpus.levels[j]),
+                    parent_code=self.corpus.parent_codes[j],
+                    category_path=self.corpus.category_paths[j],
+                    semantic_text=self.corpus.semantic_texts[j],
+                    main_code=self.corpus.main_codes[j],
+                    secondary_code=self.corpus.secondary_codes[j],
+                    has_complication=bool(self.corpus.has_complication[j]),
+                )
+            )
+        return hits
 
     # ----------------------------------------------------------- lifecycle
 

@@ -7,6 +7,16 @@ Behavioral spec (reference: services/semantic_boundary_service.py):
 - Connection patterns (:39-46) suppress splits: a segment matching
   伴有并发/合并, 继发/导致/引起, 急性|慢性加重, 病史/既往史, 术后/治疗后 is
   merged back into the previous segment.
+- Documented divergence: NO delimiter splits inside a （）/()/[] pair,
+  and ``+`` after an ASCII alphanumeric never splits (immunophenotype
+  markers: CD30+T细胞淋巴瘤). The reference's simple-split comment
+  declares the paren intent (enhanced_text_processor.py:97
+  "排除括号内的逗号") but its pattern only covers full-width （） commas
+  — and this boundary service has no exclusion at all — while 3,902 of
+  the 40,474 corpus titles contain a delimiter: qualifier commas
+  (肺结核,经组织学所证实), paren code annotations ((G30.0+), (J99.0*)),
+  bracketed aliases ([Di George综合征]), immunophenotypes. Splitting
+  those breaks queries the store could otherwise serve verbatim.
 - "Semantic clustering" sets n_clusters = len(segments) — a deliberate
   no-op merge (:174-224). We keep identity grouping (and batch-encode the
   segments only where confidence needs them).
@@ -49,8 +59,58 @@ CONNECTION_PATTERNS = tuple(
 DISEASE_TERM_RE = re.compile(r"[^，。；\s]{2,}(?:病|症|炎|癌|瘤)")
 DEPENDENT_RE = re.compile(r"(?:伴有|合并|继发)")
 
+# ICD qualifier-clause cues: how the 3,838 comma-holding corpus titles'
+# tail segments begin or end (measured over the full corpus — location/
+# activity 在…, 不可归类在他处者, 意图未确定, 伴有/不伴有…, 未特指, 经…
+# 证实, 由于…所致, 除外…, 累及…). Only applied when the segment has no
+# disease term of its own (_merge_connection_cases).
+QUALIFIER_TAIL_RE = re.compile(
+    r"^\s*(?:在|于|不可归类|意图|(?:并|也|但)?(?:伴有|不伴)|未特指|未做|"
+    r"未?累及|除外|经|仅经|由于|弥漫|目前|作为)|(?:所致|证实|者|区域)\s*$"
+)
+
 SEMANTIC_THRESHOLD = 0.75
 MIN_SEGMENT_LENGTH = 2
+
+_PAREN_OPEN = "（(["
+_PAREN_CLOSE = "）)]"
+_PLUSES = "+＋"
+
+
+def _split_outside_parens(text: str, delimiter: str) -> List[str]:
+    """Like text.split(delimiter) but two split suppressions (module
+    docstring "Documented divergence"):
+    - a delimiter inside a （）/()/[] pair never splits — corpus titles
+      carry comma/dot/plus inside paren code annotations ((G30.0+),
+      (J99.0*)) and bracketed aliases ([Di George综合征]);
+    - ``+`` preceded by an ASCII alphanumeric never splits — it is an
+      immunophenotype marker (CD30+T细胞淋巴瘤, ALK+大B细胞淋巴瘤), not
+      a diagnosis join (joins follow CJK: 高血压+糖尿病 still splits)."""
+    parts: List[str] = []
+    cur: List[str] = []
+    depth = 0
+    prev = ""
+    for ch in text:
+        if ch in _PAREN_OPEN:
+            depth += 1
+        elif ch in _PAREN_CLOSE:
+            depth = max(0, depth - 1)
+        split_here = ch == delimiter and depth == 0
+        if (
+            split_here
+            and delimiter in _PLUSES
+            and prev.isascii()
+            and prev.isalnum()
+        ):
+            split_here = False
+        if split_here:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        prev = ch
+    parts.append("".join(cur))
+    return parts
 
 
 class SemanticBoundaryDetector:
@@ -79,7 +139,7 @@ class SemanticBoundaryDetector:
         for delimiter, priority in sorted(DELIMITER_PRIORITY, key=lambda x: x[1]):
             if delimiter not in text:
                 continue
-            parts = text.split(delimiter)
+            parts = _split_outside_parens(text, delimiter)
             if len(parts) <= 1:
                 continue
             candidate: List[Dict[str, Any]] = []
@@ -112,18 +172,42 @@ class SemanticBoundaryDetector:
                     "priority": 0,
                 }
             ]
-        return self._merge_connection_cases(segments)
+        return self._merge_connection_cases(segments, text)
 
     @staticmethod
-    def _merge_connection_cases(segments: List[Dict]) -> List[Dict]:
-        """Segments with connection markers merge into the previous one."""
+    def _merge_connection_cases(
+        segments: List[Dict], text: str = ""
+    ) -> List[Dict]:
+        """Segments with connection markers merge into the previous one.
+
+        Two documented divergences from the reference (:139-170):
+        - merged text is the ORIGINAL slice text[prev.start:seg.end]
+          (delimiter preserved), not a space-join — the reference's
+          'A病 伴B' output can never exact-match a corpus title again,
+          while 3,838 corpus titles legitimately contain a comma.
+        - qualifier tails merge too: a segment with NO disease term that
+          reads as an ICD qualifier clause (在.../不可归类.../意图.../
+          伴有|不伴.../未特指.../经...证实/由于...所致 and kin) belongs to
+          the preceding diagnosis ('肺结核,经组织学所证实' is ONE code).
+          Segments containing their own disease term never merge this
+          way, so genuine multi-diagnosis commas keep splitting."""
         merged: List[Dict] = []
         for seg in segments:
             connected = any(p.search(seg["text"]) for p in CONNECTION_PATTERNS)
+            if not connected and merged:
+                connected = bool(
+                    QUALIFIER_TAIL_RE.search(seg["text"])
+                    and not DISEASE_TERM_RE.search(seg["text"])
+                )
             if connected and merged:
                 prev = merged[-1]
+                joined = (
+                    text[prev["start"] : seg["end"]].strip()
+                    if text
+                    else prev["text"] + " " + seg["text"]
+                )
                 merged[-1] = {
-                    "text": prev["text"] + " " + seg["text"],
+                    "text": joined,
                     "start": prev["start"],
                     "end": seg["end"],
                     "delimiter": seg["delimiter"],

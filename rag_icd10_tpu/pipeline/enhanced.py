@@ -39,7 +39,16 @@ import numpy as np
 from .boundary import SemanticBoundaryDetector
 from .ner import MedicalNERService
 
-SIMPLE_SEPARATORS = (r"[；;]", r"[，,](?![^（]*）)", r"[+＋]")
+# separators never fire inside a （）/()/[] pair, and + never fires after
+# an ASCII alphanumeric (immunophenotypes) — the reference's :97 pattern
+# only excludes full-width-（） commas; see boundary.py "Documented
+# divergence" for the corpus evidence
+_NOT_IN_BRACKETS = r"(?![^（([]*[）)\]])"
+SIMPLE_SEPARATORS = (
+    r"[；;]" + _NOT_IN_BRACKETS,
+    r"[，,]" + _NOT_IN_BRACKETS,
+    r"(?<![A-Za-z0-9])[+＋]" + _NOT_IN_BRACKETS,
+)
 MEDICAL_SPLIT_KEYWORDS = ("既往", "病史", "术后", "治疗", "保守", "规律", "控制")
 
 
@@ -59,6 +68,7 @@ class EnhancedTextProcessor:
         encoder=None,
         ner_service: Optional[MedicalNERService] = None,
         use_model_ner: Optional[bool] = None,
+        known_titles: Optional[frozenset] = None,
     ):
         if ner_service is not None:
             self.ner_service = ner_service
@@ -72,6 +82,7 @@ class EnhancedTextProcessor:
             self.ner_service = MedicalNERService(cfg)
         self.encoder = encoder
         self.boundary_detector = SemanticBoundaryDetector(encoder)
+        self.known_titles = known_titles
         self.config = {
             "min_diagnosis_length": 2,
             "max_diagnosis_length": 50,
@@ -79,6 +90,19 @@ class EnhancedTextProcessor:
             "use_semantic_boundary": True,
             "fallback_to_simple_split": True,
         }
+
+    def set_known_titles(self, titles) -> None:
+        """Arm the exact-title bypass (see _is_known_title)."""
+        self.known_titles = frozenset(t.strip() for t in titles)
+
+    def _is_known_title(self, text: str) -> bool:
+        """Exact-title bypass: 3,838 of the 40,474 corpus titles contain a
+        comma (qualifier clauses like 肺结核,经组织学所证实), which the
+        delimiter splitter would mangle into unmatchable fragments. A
+        query that IS verbatim a known corpus title is that diagnosis by
+        definition — never split it. The corpus-blind reference cannot do
+        this (its extractor never sees the store)."""
+        return self.known_titles is not None and text.strip() in self.known_titles
 
     # ------------------------------------------------------------- public
 
@@ -91,13 +115,19 @@ class EnhancedTextProcessor:
             entities = self.ner_service.extract_medical_entities(
                 text, filter_drugs=filter_drugs
             )
-            if self.config["use_semantic_boundary"] and self.encoder is not None:
+            exact = self._is_known_title(text)
+            if exact:
+                boundaries = [(0, len(text), text.strip())]
+                confs = [1.0]
+            elif self.config["use_semantic_boundary"] and self.encoder is not None:
                 boundaries = self.boundary_detector.detect_diagnosis_boundaries(text)
                 confs = self.boundary_detector.get_boundary_confidence(boundaries)
             else:
                 boundaries = self._simple_boundary_detection(text)
                 confs = [0.5] * len(boundaries)
-            fused = self._fuse(text, entities, boundaries, confs)
+            fused = self._fuse(
+                text, entities, boundaries, confs, allow_subsplit=not exact
+            )
             return self._filter_and_rank(fused)
         except Exception:
             return self._fallback_extraction(text)
@@ -121,7 +151,10 @@ class EnhancedTextProcessor:
                 entities = self.ner_service.extract_medical_entities(
                     text, filter_drugs=filter_drugs
                 )
-                if self.config["use_semantic_boundary"] and self.encoder is not None:
+                exact = self._is_known_title(text)
+                if exact:
+                    boundaries = [(0, len(text), text.strip())]
+                elif self.config["use_semantic_boundary"] and self.encoder is not None:
                     boundaries = self.boundary_detector.detect_diagnosis_boundaries(
                         text
                     )
@@ -130,7 +163,7 @@ class EnhancedTextProcessor:
                 offset = len(all_segments)
                 if len(boundaries) > 1:
                     all_segments.extend(b[2] for b in boundaries)
-                prepared.append((text, entities, boundaries, offset))
+                prepared.append((text, entities, boundaries, offset, exact))
             except Exception:
                 prepared.append(("__fallback__", text))
         embs = None
@@ -147,8 +180,10 @@ class EnhancedTextProcessor:
             if item[0] == "__fallback__":
                 results.append(self._fallback_extraction(item[1]))
                 continue
-            text, entities, boundaries, offset = item
-            if len(boundaries) > 1 and embs is not None:
+            text, entities, boundaries, offset, exact = item
+            if exact:
+                confs = [1.0]
+            elif len(boundaries) > 1 and embs is not None:
                 seg_embs = embs[offset : offset + len(boundaries)]
                 confs = self.boundary_detector.get_boundary_confidence(
                     boundaries, embeddings=seg_embs
@@ -158,7 +193,9 @@ class EnhancedTextProcessor:
             else:
                 confs = [0.5] * len(boundaries)
             try:
-                fused = self._fuse(text, entities, boundaries, confs)
+                fused = self._fuse(
+                    text, entities, boundaries, confs, allow_subsplit=not exact
+                )
                 results.append(self._filter_and_rank(fused))
             except Exception:
                 results.append(self._fallback_extraction(text))
@@ -238,11 +275,24 @@ class EnhancedTextProcessor:
         entities: Dict[str, List[Dict]],
         boundaries: List[Tuple[int, int, str]],
         confs: List[float],
+        allow_subsplit: bool = True,
     ) -> List[Dict[str, Any]]:
         out: List[Dict[str, Any]] = []
         for i, (start, end, btext) in enumerate(boundaries):
             bconf = confs[i] if i < len(confs) else 0.5
-            for sub in self._sub_diagnoses(btext, entities, start, end):
+            subs = (
+                self._sub_diagnoses(btext, entities, start, end)
+                if allow_subsplit
+                else [
+                    {
+                        "text": btext,
+                        "start": start,
+                        "end": end,
+                        "entities": self._entities_in(entities, start, end),
+                    }
+                ]
+            )
+            for sub in subs:
                 info: Dict[str, Any] = {
                     "text": sub["text"].strip(),
                     "start_pos": sub["start"],
@@ -270,6 +320,7 @@ class EnhancedTextProcessor:
                                 info["metadata"]["has_disease_entity"] = True
                             elif etype == "symptom":
                                 info["metadata"]["has_symptom_entity"] = True
+                info["metadata"]["exact_title"] = self._is_known_title(info["text"])
                 info["diagnosis_confidence"] = self._diagnosis_confidence(info)
                 out.append(info)
         return out
@@ -395,7 +446,13 @@ class EnhancedTextProcessor:
             self.config["min_diagnosis_length"],
             self.config["max_diagnosis_length"],
         )
-        filtered = [d for d in diagnoses if lo <= len(d["text"]) <= hi]
+        # exact corpus titles bypass the length window (42 titles are
+        # longer than the 50-char cap; they are valid diagnoses by fiat)
+        filtered = [
+            d
+            for d in diagnoses
+            if d["metadata"].get("exact_title") or lo <= len(d["text"]) <= hi
+        ]
         filtered = [d for d in filtered if d["diagnosis_confidence"] >= 0.4]
         deduped: List[Dict[str, Any]] = []
         for d in filtered:

@@ -140,6 +140,17 @@ class MultiDiagnosisService:
         self.text_processor = text_processor or DiagnosisTextProcessor(
             encoder=encoder, ner_service=self.ner_service
         )
+        # arm the exact-title split bypass with the store's corpus titles
+        # (a verbatim-title query IS that diagnosis; never split it —
+        # enhanced.py _is_known_title)
+        corpus = getattr(store, "corpus", None)
+        titles = getattr(corpus, "titles", None)
+        if (
+            titles is not None
+            and getattr(self.text_processor, "known_titles", None) is None
+            and hasattr(self.text_processor, "set_known_titles")
+        ):
+            self.text_processor.set_known_titles(titles)
         self.hierarchical = hierarchical or HierarchicalSimilarityService(
             encoder=encoder, store=store, ner_service=self.ner_service
         )
@@ -363,9 +374,35 @@ class MultiDiagnosisService:
                         query_vecs = np.asarray(query_dev)
         else:
             query_vecs, all_hits = np.zeros((0, 1)), []
+        if flat_diagnoses:
+            self._inject_exact_title_rows(encode_texts, query_vecs, all_hits)
         state["query_vecs"] = query_vecs
         state["all_hits"] = all_hits
         return state
+
+    def _inject_exact_title_rows(
+        self,
+        encode_texts: List[str],
+        query_vecs: np.ndarray,
+        all_hits: List[List],
+    ) -> None:
+        """Guarantee a verbatim-title diagnosis always has its own corpus
+        row among the candidates (store.exact_title_hits has the story:
+        x1.2-weighted near-duplicates can push a level-3 row below the
+        over-fetch horizon, and the 1.5 exact floor can't fire on an
+        unfetched row). No-op on stores without host vectors (remote)."""
+        lookup = getattr(self.store, "exact_title_hits", None)
+        if lookup is None:
+            return
+        for i, text in enumerate(encode_texts):
+            try:
+                extra = lookup(text, query_vecs[i])
+            except Exception:
+                return  # store without the host-side internals
+            if not extra:
+                continue
+            seen = {h.id for h in all_hits[i] if hasattr(h, "id")}
+            all_hits[i].extend(h for h in extra if h.id not in seen)
 
     def rescore_stage(
         self, state: Dict[str, Any], top_k: int

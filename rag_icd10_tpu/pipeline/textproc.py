@@ -17,7 +17,13 @@ from __future__ import annotations
 import re
 from typing import Dict, List, Optional
 
-SEPARATOR_RE = re.compile(r"[，,；;]|[+＋]|\s+")
+# separators never fire inside a （）/()/[] pair, and + never fires after
+# an ASCII alphanumeric (immunophenotype markers) — the bracket/plus rules
+# shared by every split path (boundary.py has the rationale); this regex
+# is also the eval's "title is split-ambiguous" filter (eval/retrieval.py)
+SEPARATOR_RE = re.compile(
+    r"(?:[，,；;]|(?<![A-Za-z0-9])[+＋]|\s+)(?![^（([]*[）)\]])"
+)
 PREFIXES_TO_REMOVE = ("？", "?", "诊断为", "患者")
 SUFFIXES_TO_REMOVE = ("？", "?", "诊断")
 
@@ -57,6 +63,7 @@ class DiagnosisTextProcessor:
         encoder=None,
         use_enhanced_processing: Optional[bool] = None,
         ner_service=None,
+        known_titles=None,
     ):
         if use_enhanced_processing is None:
             import os
@@ -66,16 +73,32 @@ class DiagnosisTextProcessor:
             )
         self.use_enhanced_processing = use_enhanced_processing
         self.encoder = encoder
+        self.known_titles = (
+            frozenset(t.strip() for t in known_titles) if known_titles else None
+        )
         self._enhanced = None
         if use_enhanced_processing:
             try:
                 from .enhanced import EnhancedTextProcessor
 
                 self._enhanced = EnhancedTextProcessor(
-                    encoder=encoder, ner_service=ner_service
+                    encoder=encoder,
+                    ner_service=ner_service,
+                    known_titles=self.known_titles,
                 )
             except Exception:
                 self.use_enhanced_processing = False
+
+    def set_known_titles(self, titles) -> None:
+        """Arm the exact-title split bypass on both extraction paths (the
+        orchestrator calls this with the store's corpus titles; see
+        enhanced.py _is_known_title for the rationale)."""
+        self.known_titles = frozenset(t.strip() for t in titles)
+        if self._enhanced is not None:
+            self._enhanced.known_titles = self.known_titles
+
+    def _is_known_title(self, text: str) -> bool:
+        return self.known_titles is not None and text.strip() in self.known_titles
 
     def extract_diagnoses(self, text: str) -> List[str]:
         if not text or not text.strip():
@@ -85,6 +108,8 @@ class DiagnosisTextProcessor:
                 return self._enhanced.extract_diagnoses_simple(text)
             except Exception:
                 pass
+        if self._is_known_title(text):
+            return [text.strip()]
         return split_simple(text)
 
     def extract_diagnoses_enhanced(self, text: str) -> List[Dict]:
@@ -97,9 +122,12 @@ class DiagnosisTextProcessor:
                 return self._enhanced.extract_diagnoses_enhanced(text)
             except Exception:
                 pass
+        parts = (
+            [text.strip()] if self._is_known_title(text) else split_simple(text)
+        )
         return [
             {"diagnosis_text": d, "diagnosis_confidence": 0.8, "method": "simple"}
-            for d in split_simple(text)
+            for d in parts
         ]
 
     def extract_many_enhanced(self, texts: List[str]) -> List[List[Dict]]:

@@ -121,6 +121,40 @@ class TestSplitIntegrity:
             assert c.source_title in c.query
             assert c.query != c.source_title
 
+    def test_exact_tier_admits_separator_titles(self):
+        # the exact tier samples from ALL titles (extraction's exact-title
+        # bypass makes comma/paren titles fair queries); transformed tiers
+        # keep the separator exclusion
+        from rag_icd10_tpu.data.corpus import ICDCorpus as C
+
+        rows = [{"code": f"A{i:02d}", "disease": t} for i, t in enumerate([
+            "肺结核,经组织学所证实",
+            "急性胃肠炎",
+            "高血压病",
+            "慢性支气管炎",
+            "继发性肺结核(初治,耐多药)涂阳培阳",
+            "糖尿病性白内障",
+        ])]
+        corpus = C.from_rows(rows)
+        tiers = {t.name: t for t in build_eval_set(
+            corpus, n_exact=6, n_paraphrase=2, n_uncertainty=2, n_multi=2)}
+        exact_queries = {c.query for c in tiers["exact_title"].cases}
+        assert "肺结核,经组织学所证实" in exact_queries
+        for c in tiers["uncertainty"].cases:
+            assert "," not in c.source_title
+
+    def test_multi_pool_excludes_merge_prone_titles(self, corpus):
+        # no multi part may be a connection/qualifier-shaped title the
+        # boundary detector would merge into its predecessor
+        from rag_icd10_tpu.pipeline.boundary import (
+            CONNECTION_PATTERNS, DISEASE_TERM_RE, QUALIFIER_TAIL_RE)
+        tiers = {t.name: t for t in build_eval_set(corpus)}
+        for c in tiers["multi_diagnosis"].cases:
+            t = c.source_title
+            assert not any(p.search(t) for p in CONNECTION_PATTERNS), t
+            assert not (QUALIFIER_TAIL_RE.search(t)
+                        and not DISEASE_TERM_RE.search(t)), t
+
     def test_paraphrase_queries_differ_from_titles(self, corpus):
         # synthetic corpus rarely hits synonym/laterality; real corpus does.
         # char-swap fallback must still produce variants != any gold title.

@@ -255,6 +255,48 @@ class TestBoundary:
         a = det.analyze_text_structure("肺炎；心衰")
         assert a["is_multi_diagnosis"] and a["total_boundaries"] == 2
 
+    @pytest.mark.parametrize(
+        "title",
+        [
+            # qualifier-clause commas merge back (ONE ICD code each)
+            "肺结核,经组织学所证实",
+            "霍乱,由于01群霍乱弧菌,霍乱生物型所致",
+            "其他细菌性食物中毒,不可归类在他处者",
+            "急性乙型肝炎,伴有δ因子(共同感染),并伴有肝昏迷",
+            # delimiters inside （）/()/[] never split
+            "继发性肺结核(初治,耐多药)涂阳培阳",
+            "早发性阿尔茨海默病性痴呆(G30.0+)",
+            "类风湿性肺病(J99.0*)",
+            "迪格奥尔格综合征[Di George综合征]",
+            # + after ASCII alphanumerics = immunophenotype, not a join
+            "原发皮肤CD30+T细胞淋巴增殖性疾病",
+            "ALK+大B细胞淋巴瘤",
+        ],
+    )
+    def test_corpus_title_stays_whole(self, title):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries(title)
+        assert [t for _, _, t in b] == [title]
+
+    def test_qualifier_merge_preserves_original_delimiters(self):
+        # merged text must be the ORIGINAL slice (comma kept), not a
+        # space-join — otherwise it can never exact-match a corpus title
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("急性查加斯病,未累及心脏")
+        assert [t for _, _, t in b] == ["急性查加斯病,未累及心脏"]
+
+    def test_disease_tail_still_splits(self):
+        # a tail with its own disease term is a separate diagnosis even
+        # when it starts with a qualifier cue character
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("急性胃肠炎，未特指的肝病")
+        assert [t for _, _, t in b] == ["急性胃肠炎", "未特指的肝病"]
+
+    def test_cjk_plus_still_splits(self):
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("高血压病+2型糖尿病")
+        assert [t for _, _, t in b] == ["高血压病", "2型糖尿病"]
+
 
 class TestEnhancedProcessor:
     @pytest.fixture()
@@ -292,6 +334,31 @@ class TestEnhancedProcessor:
         results = proc.extract_diagnoses_enhanced(title)
         texts = [r["text"] for r in results]
         assert texts == [title]
+
+    def test_exact_title_bypass_never_splits(self, proc):
+        # a verbatim known corpus title is that diagnosis by definition —
+        # even when it holds commas the splitter would otherwise fire on
+        title = "肺结核,经显微镜下痰检查证实,伴有或不伴有痰培养"
+        proc.set_known_titles([title, "急性胃肠炎"])
+        results = proc.extract_diagnoses_enhanced(title)
+        assert [r["text"] for r in results] == [title]
+
+    def test_exact_title_bypass_exempts_length_cap(self, proc):
+        title = "伴" * 60  # longer than the 50-char max_diagnosis_length
+        proc.set_known_titles([title])
+        results = proc.extract_diagnoses_enhanced(title)
+        assert [r["text"] for r in results] == [title]
+
+    def test_facade_exact_title_bypass_simple_mode(self):
+        title = "肺结核,经组织学所证实"
+        proc = DiagnosisTextProcessor(
+            use_enhanced_processing=False, known_titles=[title]
+        )
+        assert proc.extract_diagnoses(title) == [title]
+        out = proc.extract_diagnoses_enhanced(title)
+        assert [d["diagnosis_text"] for d in out] == [title]
+        # non-title input still splits
+        assert len(proc.extract_diagnoses("肺炎；心衰")) == 2
 
     def test_separated_entities_still_subsplit(self, proc):
         # whitespace between entities = real boundary even without ，/；

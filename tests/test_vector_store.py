@@ -55,6 +55,29 @@ class TestInsertSearch:
         hits = store.search(store._test_vecs[0], top_k=3)
         assert len(hits) == 1 and len(hits[0]) == 3
 
+    def test_exact_title_hits_lookup(self, store):
+        q = store._test_vecs[7]
+        hits = store.exact_title_hits(store.corpus.titles[7], q)
+        assert hits and hits[0].id == 7
+        # weighted-score convention matches the search path
+        w = {1: 1.2, 2: 1.0, 3: 0.8}[hits[0].level]
+        assert hits[0].original_score == pytest.approx(1.0, abs=1e-5)
+        assert hits[0].score == pytest.approx(w, abs=1e-4)
+        assert store.exact_title_hits("不存在的标题", q) == []
+
+    def test_exact_title_map_invalidated_on_insert(self, store):
+        q = store._test_vecs[0]
+        store.exact_title_hits(store.corpus.titles[0], q)  # build the map
+        extra = synthetic_corpus(8, seed=77)
+        rng = np.random.default_rng(77)
+        vecs = normed(rng.standard_normal((8, 64)).astype(np.float32))
+        recs = [r for r in extra.records()]
+        for r in recs:  # make titles unique vs the base corpus
+            r.preferred_zh = "新增" + r.preferred_zh
+        store.insert_records(recs, vecs)
+        hits = store.exact_title_hits(recs[0].preferred_zh, vecs[0])
+        assert hits and hits[0].preferred_zh == recs[0].preferred_zh
+
     def test_incremental_insert(self, store):
         extra = synthetic_corpus(56, seed=9)
         rng = np.random.default_rng(9)
