@@ -90,6 +90,70 @@ SYNONYM_PAIRS: Tuple[Tuple[str, str], ...] = (
     ("2型", "二型"),
 )
 
+# Round-4 expansion: more true-alias pairs (colloquial, abbreviation,
+# traditional names) so synonym-robustness training sees a broader mapping
+# distribution. TRAIN-ONLY by design: these never enter the eval half, so
+# the paraphrase eval tier's membership (and the gate bar measured from
+# it) stays frozen at the original SYNONYM_PAIRS md5 split — otherwise
+# every vocabulary edit would silently re-norm the quality numbers, and
+# the frozen incumbent vocab (db/trained/vocab.txt) would face eval chars
+# it has no tokens for.
+# Either direction of substring containment is safe: apply_synonym's
+# corruption guard skips a formal-in-variant pair only on texts that
+# already contain the variant (no double-suffix corruption), and
+# variant-in-formal abbreviations (脑梗死->脑梗) always apply.
+TRAIN_ONLY_SYNONYM_PAIRS: Tuple[Tuple[str, str], ...] = (
+    ("脑卒中", "中风"),
+    ("癫痫", "羊癫疯"),
+    ("癫痫", "羊角风"),
+    ("抑郁症", "忧郁症"),
+    ("阿尔茨海默病", "老年性痴呆"),
+    ("帕金森病", "震颤麻痹"),
+    ("面神经麻痹", "面瘫"),
+    ("脑性瘫痪", "脑瘫"),
+    ("结膜炎", "红眼病"),
+    ("麦粒肿", "针眼"),
+    ("风湿性心脏病", "风心病"),
+    ("肺源性心脏病", "肺心病"),
+    ("先天性心脏病", "先心病"),
+    ("肝硬化", "肝硬变"),
+    ("异位妊娠", "宫外孕"),
+    ("前列腺增生", "前列腺肥大"),
+    ("银屑病", "牛皮癣"),
+    ("带状疱疹", "缠腰龙"),
+    ("痤疮", "青春痘"),
+    ("脊髓灰质炎", "小儿麻痹症"),
+    ("肺结核", "痨病"),
+    ("疟疾", "打摆子"),
+    ("腮腺炎", "痄腮"),
+    ("扁桃体炎", "扁桃腺炎"),
+    ("胸膜炎", "肋膜炎"),
+    ("食管", "食道"),
+    ("唐氏综合征", "21三体综合征"),
+    ("唇裂", "兔唇"),
+    ("坏血病", "维生素C缺乏病"),
+    ("甲状腺肿", "大脖子病"),
+    ("强直性脊柱炎", "强脊炎"),
+    ("偏头痛", "偏头疼"),
+    ("头痛", "头疼"),
+    ("腹泻", "拉肚子"),
+    ("荨麻疹", "风疹块"),
+    ("白癜风", "白斑病"),
+    ("佝偻病", "软骨病"),
+    ("败血症", "脓毒症"),
+    ("狂犬病", "恐水症"),
+    ("获得性免疫缺陷综合征", "艾滋病"),
+    ("肥胖", "肥胖症"),
+    ("夜盲", "夜盲症"),
+    ("多发性硬化", "多发性硬化症"),
+    ("腰椎间盘突出症", "腰突症"),
+    ("股骨头坏死", "股骨头缺血性坏死"),
+    ("子宫肌瘤", "子宫平滑肌瘤"),
+    ("乳腺增生", "乳腺小叶增生"),
+    ("人工流产", "人流"),
+    ("早产儿", "早产婴儿"),
+)
+
 
 def _is_eval_pair(pair: Tuple[str, str]) -> bool:
     # ~1/3 of pairs held out for eval; the rest teach the encoder
@@ -101,7 +165,7 @@ def _is_eval_pair(pair: Tuple[str, str]) -> bool:
 def _split_pairs() -> Tuple[Tuple[Tuple[str, str], ...], Tuple[Tuple[str, str], ...]]:
     train = tuple(p for p in SYNONYM_PAIRS if not _is_eval_pair(p))
     evl = tuple(p for p in SYNONYM_PAIRS if _is_eval_pair(p))
-    return train, evl
+    return train + TRAIN_ONLY_SYNONYM_PAIRS, evl
 
 
 def train_synonyms() -> List[Tuple[str, str]]:
@@ -113,9 +177,16 @@ def eval_synonyms() -> List[Tuple[str, str]]:
 
 
 def apply_synonym(text: str, pairs: Sequence[Tuple[str, str]]) -> Optional[str]:
-    """First applicable substitution (formal->variant), else None."""
+    """First applicable substitution (formal->variant), else None.
+
+    Corruption guard: for a formal-in-variant pair like 骨质疏松->骨质疏松症,
+    a naive replace on a title that already contains the variant would hit
+    the formal occurrence INSIDE the variant and double the suffix
+    (骨质疏松症 -> 骨质疏松症症). Skip exactly that case; pairs whose formal
+    is not inside the variant (e.g. 脑梗死->脑梗) stay applicable even when
+    the variant string happens to be a substring of the text."""
     for formal, variant in pairs:
-        if formal in text:
+        if formal in text and not (formal in variant and variant in text):
             return text.replace(formal, variant, 1)
     return None
 
@@ -206,7 +277,8 @@ def augmentation_charset_texts() -> List[str]:
     vocab must cover these chars or augmented anchors degrade to [UNK]
     (synonym variants like 蛀牙 and marker chars like 疑 need not appear
     anywhere in the corpus text)."""
-    out = [v for _, v in SYNONYM_PAIRS] + [f for f, _ in SYNONYM_PAIRS]
+    all_pairs = SYNONYM_PAIRS + TRAIN_ONLY_SYNONYM_PAIRS
+    out = [v for _, v in all_pairs] + [f for f, _ in all_pairs]
     out += [tpl.format(t="") for tpl in UNCERTAINTY_WRAPPERS]
     out += list(_CONNECTIVES)
     return out

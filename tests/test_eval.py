@@ -54,10 +54,38 @@ def corpus():
 
 class TestSplitIntegrity:
     def test_synonym_split_partitions(self):
+        from rag_icd10_tpu.data.augment import TRAIN_ONLY_SYNONYM_PAIRS
+
         tr, ev = train_synonyms(), eval_synonyms()
-        assert set(tr) | set(ev) == set(SYNONYM_PAIRS)
+        assert set(tr) | set(ev) == set(SYNONYM_PAIRS) | set(
+            TRAIN_ONLY_SYNONYM_PAIRS)
         assert not (set(tr) & set(ev))
         assert len(ev) >= 10  # enough eval templates
+        # the round-4 expansion is train-only: eval membership stays frozen
+        # at the original SYNONYM_PAIRS md5 split, so eval numbers remain
+        # comparable across vocabulary edits
+        assert not (set(ev) & set(TRAIN_ONLY_SYNONYM_PAIRS))
+        assert set(ev) == {p for p in SYNONYM_PAIRS if p in set(ev)}
+
+    def test_no_degenerate_synonym_pairs(self):
+        from rag_icd10_tpu.data.augment import TRAIN_ONLY_SYNONYM_PAIRS
+
+        for formal, variant in SYNONYM_PAIRS + TRAIN_ONLY_SYNONYM_PAIRS:
+            assert formal != variant, (formal, variant)
+            assert formal and variant
+
+    def test_apply_synonym_corruption_guard(self):
+        """formal-in-variant pairs must not double the suffix on titles
+        that already contain the variant (骨质疏松症 -> 骨质疏松症症),
+        while variant-in-formal abbreviations (脑梗死 -> 脑梗) must stay
+        applicable."""
+        from rag_icd10_tpu.data.augment import apply_synonym
+
+        pairs = [("骨质疏松", "骨质疏松症")]
+        assert apply_synonym("绝经后骨质疏松症", pairs) is None
+        assert apply_synonym("老年性骨质疏松", pairs) == "老年性骨质疏松症"
+        abbr = [("脑梗死", "脑梗")]
+        assert apply_synonym("急性脑梗死", abbr) == "急性脑梗"
 
     def test_train_transforms_stay_out_of_eval_classes(self):
         """New TRAIN-class transforms must not reproduce an EVAL-class
