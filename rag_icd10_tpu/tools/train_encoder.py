@@ -186,6 +186,28 @@ def draw_batch(
     )
 
 
+def select_vocab(explicit_vocab, init_from, build_fresh):
+    """Tokenizer vocab for a training run.
+
+    A RESUME must tokenize exactly like the original run: the augmentation
+    charset is part of vocab construction, so any later edit to the
+    synonym table would shift token ids under the checkpoint's frozen
+    embedding rows — silently corrupting the warm start. Preference
+    order: explicitly configured vocab file, the vocab.txt saved next to
+    the --init-from checkpoint, then a fresh corpus+charset build.
+    """
+    from ..models.tokenizer import WordPieceTokenizer
+
+    if explicit_vocab and Path(explicit_vocab).exists():
+        return WordPieceTokenizer.from_vocab_file(str(explicit_vocab))
+    if init_from:
+        init_vocab = Path(init_from).parent / "vocab.txt"
+        if init_vocab.exists():
+            logger.info("resume: adopting checkpoint vocab %s", init_vocab)
+            return WordPieceTokenizer.from_vocab_file(str(init_vocab))
+    return build_fresh()
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=16000)
@@ -285,17 +307,18 @@ def main(argv=None) -> int:
         )
 
     # vocab must cover the augmentation charset (synonym variants, marker
-    # chars) or augmented anchors degrade to [UNK] — build fresh from
-    # corpus + augmentation texts unless an explicit vocab is configured
+    # chars) or augmented anchors degrade to [UNK]; resumes adopt the
+    # checkpoint's own vocab — see select_vocab
     from ..data.augment import augmentation_charset_texts
 
-    if cfg.encoder.vocab_path and Path(cfg.encoder.vocab_path).exists():
-        tok = WordPieceTokenizer.from_vocab_file(cfg.encoder.vocab_path)
-    else:
-        tok = WordPieceTokenizer.from_corpus(
+    tok = select_vocab(
+        cfg.encoder.vocab_path,
+        args.init_from,
+        lambda: WordPieceTokenizer.from_corpus(
             corpus.titles + corpus.semantic_texts
             + augmentation_charset_texts()
-        )
+        ),
+    )
 
     enc_cfg = cfg.encoder
     arch = BertArch(

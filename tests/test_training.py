@@ -123,3 +123,49 @@ class TestCousinFrac:
 
     def test_positive_frac_uses_cousins_when_no_siblings(self):
         assert "副霍乱" in self._draw(0.3)
+
+
+class TestSelectVocab:
+    """Resume runs must tokenize exactly like the original run — a
+    charset/synonym-table edit between runs would otherwise shift token
+    ids under the checkpoint's frozen embedding rows."""
+
+    def _tok(self, texts):
+        from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+
+        return WordPieceTokenizer.from_corpus(texts)
+
+    def test_resume_adopts_checkpoint_vocab(self, tmp_path):
+        from rag_icd10_tpu.tools.train_encoder import select_vocab
+
+        ckpt_tok = self._tok(["霍乱", "肺炎"])
+        ckpt_dir = tmp_path / "trained"
+        ckpt_dir.mkdir()
+        ckpt_tok.save_vocab(str(ckpt_dir / "vocab.txt"))
+        fresh_tok = self._tok(["霍乱", "肺炎", "新字"])  # charset grew
+
+        tok = select_vocab(None, str(ckpt_dir / "params.npz"),
+                           lambda: fresh_tok)
+        assert tok.vocab_size == ckpt_tok.vocab_size
+        assert tok.encode("霍乱") == ckpt_tok.encode("霍乱")
+
+    def test_explicit_vocab_wins_over_checkpoint(self, tmp_path):
+        from rag_icd10_tpu.tools.train_encoder import select_vocab
+
+        a, b = self._tok(["甲"]), self._tok(["甲", "乙"])
+        (tmp_path / "ck").mkdir()
+        b.save_vocab(str(tmp_path / "ck" / "vocab.txt"))
+        a.save_vocab(str(tmp_path / "explicit.txt"))
+        tok = select_vocab(str(tmp_path / "explicit.txt"),
+                           str(tmp_path / "ck" / "params.npz"),
+                           lambda: b)
+        assert tok.vocab_size == a.vocab_size
+
+    def test_fresh_build_when_no_checkpoint_vocab(self, tmp_path):
+        from rag_icd10_tpu.tools.train_encoder import select_vocab
+
+        fresh = self._tok(["丙"])
+        (tmp_path / "ck").mkdir()  # no vocab.txt inside
+        tok = select_vocab(None, str(tmp_path / "ck" / "params.npz"),
+                           lambda: fresh)
+        assert tok is fresh
