@@ -15,17 +15,29 @@ timeout 1800 python scripts/tpu_smoke.py
 
 echo "=== 1. contrastive encoder training (~2.5 h; wedge-resilient watchdog,"
 echo "       checkpoints every 2k steps, tagged every 4k, EVAL-GATED: weights"
-echo "       scoring below the r2 incumbent are left unblessed and the chain"
-echo "       stops rather than pairing a store with a regression)"
+echo "       scoring below the r2 incumbent are left unblessed; the store is"
+echo "       then paired with the blessed incumbent instead (exactly how the"
+echo "       checked-in artifacts were produced — the r4 20k candidate was"
+echo "       gate-rejected and db/trained stayed blessed)"
+rc=0
 TRAIN_LOG=/tmp/train_reproduce.log scripts/train_watchdog.sh db/trained_r4 20000 \
-  --batch 256 --eval-gate EVAL_r02.json --keep-every 4000
+  --batch 256 --eval-gate EVAL_r02.json --keep-every 4000 || rc=$?
+if [ "$rc" -eq 0 ]; then
+  WEIGHTS=db/trained_r4
+elif [ "$rc" -eq 3 ]; then
+  echo "=== gate REJECTED the candidate; continuing with the incumbent"
+  WEIGHTS=db/trained
+else
+  echo "=== training failed (rc=$rc)"; exit "$rc"
+fi
+[ -f "$WEIGHTS/params.npz" ] || { echo "no weights at $WEIGHTS"; exit 1; }
 
 echo "=== 2. distilled NER model (~3 min)"
 timeout 2000 python -m rag_icd10_tpu.tools.train_ner --out db/ner
 
-echo "=== 3. store rebuild with the trained encoder (~6 min warm)"
-EMBEDDING_WEIGHTS_PATH=db/trained_r4/params.npz \
-EMBEDDING_VOCAB_PATH=db/trained_r4/vocab.txt \
+echo "=== 3. store rebuild with the blessed encoder ($WEIGHTS, ~6 min warm)"
+EMBEDDING_WEIGHTS_PATH=$WEIGHTS/params.npz \
+EMBEDDING_VOCAB_PATH=$WEIGHTS/vocab.txt \
 timeout 3000 python -m rag_icd10_tpu.tools.build_database --rebuild
 
 echo "=== 4. tiered retrieval eval (~10 min)"
