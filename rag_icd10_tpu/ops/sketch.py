@@ -143,26 +143,40 @@ def build_sketch(
     )
 
 
+def _project(q, p):
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.dot(
+        q.astype(jnp.float32), p,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+_project_jit = None
+
+
+def _projector():
+    """Module-level jitted projection (lazy so import stays device-free).
+    A nested @jax.jit would be a FRESH callable per search — retrace +
+    compile-cache lookup on every hot-path call."""
+    global _project_jit
+    if _project_jit is None:
+        import jax
+
+        _project_jit = jax.jit(_project)
+    return _project_jit
+
+
 def sketch_screen(store: SketchStore, queries, m: int):
     """Device screen: project the (B, D) fp32 queries onto the sketch
     basis and int8-scan for the top-m candidate indices (B, m).
     Accepts host or device query arrays; returns a device array."""
-    import jax
-    import jax.numpy as jnp
-
     from .quantized import int8_search
 
     m = min(m, store.n_real)
-
-    @jax.jit
-    def project(q, p):
-        return jnp.dot(
-            q.astype(jnp.float32), p,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-
-    z = project(queries, store.proj_dev)
+    z = _projector()(queries, store.proj_dev)
     _, idx = int8_search(
         z, store.sketch_q, store.sketch_scale, store.weights, store.mask,
         k=m,
