@@ -281,6 +281,46 @@ def main() -> int:
 
     check("gather_rescore", _gather)
 
+    def _sketch():
+        # capacity-tier screen (ops/sketch.py): device projection +
+        # int8 sketch scan + host-row exact re-rank — the served
+        # method="sketch" / STORE_DEVICE_DTYPE=host path end-to-end
+        from rag_icd10_tpu.ops.sketch import (
+            build_sketch,
+            sketch_search_host_rerank,
+        )
+
+        # encoder-like geometry: isotropic 768-d rows are the documented
+        # worst case for a low-rank screen (config 9's docstring) and
+        # would fail ANY recall bar — use low-rank + noise rows, the
+        # shape trained embeddings actually have
+        rlr = np.random.default_rng(11)
+        lat = rlr.standard_normal((16384, 48)).astype(np.float32)
+        basis = rlr.standard_normal((48, 768)).astype(np.float32)
+        vlr = lat @ basis + 0.05 * rlr.standard_normal(
+            (16384, 768)
+        ).astype(np.float32)
+        vlr /= np.linalg.norm(vlr, axis=1, keepdims=True)
+        qlr = vlr[rlr.integers(0, 16384, 64)] + 0.1 * rlr.standard_normal(
+            (64, 768)
+        ).astype(np.float32)
+        qlr /= np.linalg.norm(qlr, axis=1, keepdims=True)
+        store_s = build_sketch(vlr, w, d_sketch=64, pad_multiple=2048)
+        vals, idx = sketch_search_host_rerank(
+            store_s, vlr, w, qlr, k=k, m=256
+        )
+        # scores of selected rows must be EXACT fp32 weighted products
+        for r in range(4):
+            np.testing.assert_allclose(
+                vals[r], (qlr[r] @ vlr[idx[r]].T) * w[idx[r]],
+                rtol=1e-5, atol=1e-6,
+            )
+        top1 = np.argmax((qlr @ vlr.T) * w[None, :], axis=1)
+        hit = np.mean([top1[r] in idx[r] for r in range(len(qlr))])
+        assert hit >= 0.9, f"sketch screen top-1 hit rate {hit}"
+
+    check("sketch_screen(+host_rerank)", _sketch)
+
     ok = not failures
     summary = {
         "backend": backend,
