@@ -437,6 +437,15 @@ class EnhancedTextProcessor:
             conf -= 0.2
         if info["entity_density"] > 0.1:
             conf += 0.1
+        if info["metadata"].get("exact_title"):
+            # a verbatim corpus title is a diagnosis by fiat; without the
+            # floor, single-char titles (痔/疣/痈/疖/痣/僵) land at ~0.4-ε
+            # (short-length penalty, no recognizable entities) and the
+            # >= 0.4 filter silently drops them — a verbatim query for a
+            # real one-char ICD title returned zero diagnoses (the
+            # reference shares the blind spot: its enhanced filter has no
+            # title list to consult)
+            conf = max(conf, 0.75)
         return min(conf, 1.0)
 
     # ------------------------------------------------------------ filtering

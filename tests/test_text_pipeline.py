@@ -384,3 +384,45 @@ class TestEnhancedProcessor:
         assert proc.get_processing_mode() == "enhanced"
         out = proc.extract_diagnoses("急性胃肠炎，高血压病")
         assert len(out) >= 2
+
+
+class TestFullCorpusTitleRetrievability:
+    """Every verbatim corpus title must survive extraction as itself —
+    the invariant behind the exact-tier eval sampling ALL titles. The
+    round-4 waves fixed separator-bearing titles (3,902) and the
+    confidence-filter drop of single-char titles (痔/疣/痈/疖/痣/僵)."""
+
+    def test_every_title_extracts_to_itself(self, real_csv_path):
+        from rag_icd10_tpu.config import NERConfig
+        from rag_icd10_tpu.data.corpus import ICDCorpus
+        from rag_icd10_tpu.pipeline.ner import MedicalNERService
+        from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+
+        corpus = ICDCorpus.from_csv(real_csv_path)
+        ner = MedicalNERService(NERConfig(use_model=False))
+        tp = DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner,
+            known_titles=corpus.titles,
+        )
+        bad = []
+        for t in corpus.titles:
+            out = tp.extract_diagnoses_enhanced(t)
+            texts = [d.get("diagnosis_text", d.get("text", "")) for d in out]
+            if texts != [t]:
+                bad.append((t, texts))
+        assert not bad, bad[:10]
+
+    def test_single_char_title_confidence_floor(self):
+        from rag_icd10_tpu.config import NERConfig
+        from rag_icd10_tpu.pipeline.enhanced import EnhancedTextProcessor
+        from rag_icd10_tpu.pipeline.ner import MedicalNERService
+
+        ner = MedicalNERService(NERConfig(use_model=False))
+        ep = EnhancedTextProcessor(
+            ner_service=ner, known_titles=frozenset({"痔"})
+        )
+        out = ep.extract_diagnoses_enhanced("痔")
+        assert [d["text"] for d in out] == ["痔"]
+        assert out[0]["diagnosis_confidence"] >= 0.75
+        # non-title single chars stay filtered
+        assert ep.extract_diagnoses_enhanced("和") == []
