@@ -104,6 +104,23 @@ class EnhancedTextProcessor:
         this (its extractor never sees the store)."""
         return self.known_titles is not None and text.strip() in self.known_titles
 
+    def _is_known_title_span(self, text: str) -> bool:
+        """Marker-aware bypass: an uncertainty-wrapped known title
+        (疑似肺结核,经组织学所证实 / ...待查) is that diagnosis with a
+        marker — the splitter must not chop the title's own separators.
+        Raw verbatim match wins first (a title that happens to contain a
+        marker word is matched as itself before any stripping)."""
+        if self.known_titles is None:
+            return False
+        if text.strip() in self.known_titles:
+            return True
+        from .uncertainty import clean_for_encoding
+
+        return (
+            clean_for_encoding(text, known_titles=self.known_titles).strip()
+            in self.known_titles
+        )
+
     # ------------------------------------------------------------- public
 
     def extract_diagnoses_enhanced(
@@ -115,7 +132,7 @@ class EnhancedTextProcessor:
             entities = self.ner_service.extract_medical_entities(
                 text, filter_drugs=filter_drugs
             )
-            exact = self._is_known_title(text)
+            exact = self._is_known_title_span(text)
             if exact:
                 boundaries = [(0, len(text), text.strip())]
                 confs = [1.0]
@@ -151,7 +168,7 @@ class EnhancedTextProcessor:
                 entities = self.ner_service.extract_medical_entities(
                     text, filter_drugs=filter_drugs
                 )
-                exact = self._is_known_title(text)
+                exact = self._is_known_title_span(text)
                 if exact:
                     boundaries = [(0, len(text), text.strip())]
                 elif self.config["use_semantic_boundary"] and self.encoder is not None:
@@ -320,7 +337,7 @@ class EnhancedTextProcessor:
                                 info["metadata"]["has_disease_entity"] = True
                             elif etype == "symptom":
                                 info["metadata"]["has_symptom_entity"] = True
-                info["metadata"]["exact_title"] = self._is_known_title(info["text"])
+                info["metadata"]["exact_title"] = self._is_known_title_span(info["text"])
                 info["diagnosis_confidence"] = self._diagnosis_confidence(info)
                 out.append(info)
         return out

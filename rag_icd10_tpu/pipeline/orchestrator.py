@@ -310,14 +310,16 @@ class MultiDiagnosisService:
         # text still drives extraction, boosts and rescoring
         # (uncertainty_diagnosis_service.py:112-122 semantics unchanged).
         if flat_diagnoses:
-            from .uncertainty import detect_uncertainty
+            from .uncertainty import clean_for_encoding
 
-            encode_texts = []
-            for d in flat_diagnoses:
-                info = detect_uncertainty(d)
-                encode_texts.append(
-                    info.clean_text if info.has_uncertainty and info.clean_text else d
-                )
+            # title-aware affix strip: verbatim titles (incl. the 115 that
+            # intrinsically contain marker words) encode untouched, marked
+            # titles peel down to exactly the title (injection then hits)
+            titles = getattr(self.text_processor, "known_titles", None)
+            encode_texts = [
+                clean_for_encoding(d, known_titles=titles)
+                for d in flat_diagnoses
+            ]
             # per-request search overrides force the two-step path: the
             # fused program bakes in the FLAT method, and HNSW/ef knobs are
             # host-side concepts

@@ -86,6 +86,84 @@ def detect_uncertainty(text: str) -> UncertaintyInfo:
     return info
 
 
+# Marker sets arranged by the position they occupy in real queries
+# (疑似X, 排除X vs X待查, X可能) — used ONLY for the encoding-side strip
+# below; boost/tier detection keeps the reference's substring semantics.
+# 不排除 listed before 排除 so it peels atomically (the reference's
+# substring match turns 不排除X into clean "不X" — harmless there, where
+# clean text only drives boosts, but fatal for a query ENCODER).
+_PREFIX_MARKERS: Tuple[str, ...] = (
+    "不能排除", "不排除", "不除外", "排除", "疑似", "疑为", "考虑", "拟诊",
+    "不明原因",
+)
+_SUFFIX_MARKERS: Tuple[str, ...] = (
+    "性质待定", "待确诊", "原因不明", "待查", "待诊", "待定", "可能",
+    "倾向", "？", "?",
+)
+
+
+def clean_for_encoding(text: str, known_titles=None) -> str:
+    """Uncertainty strip for the RETRIEVAL ENCODER (documented divergence:
+    the reference embeds the raw fragment; we encode the stripped text —
+    orchestrator.device_stage).
+
+    detect_uncertainty's reference-exact substring strip mutilates the
+    115 corpus titles that intrinsically CONTAIN marker words
+    (原因不明的小肾, 原发性血栓形成倾向, 经表皮排除疾患…): a verbatim
+    query for such a title would encode a mutilated phrase and the
+    exact-row injection would miss. This strip instead peels markers only
+    as AFFIXES, longest-first, checking the known-title set at every
+    step: a text that IS a corpus title is returned untouched, and
+    疑似{title}待查 peels down to exactly {title}. Falls back to the
+    reference-style strip only for mid-text markers on non-titles.
+    """
+    raw = text.strip()
+    if known_titles is not None:
+        hit = _peel_to_title(raw, known_titles, depth=4)
+        if hit is not None:
+            return hit
+    t = raw
+    while t:
+        for p in _PREFIX_MARKERS:
+            if t.startswith(p) and len(t) > len(p):
+                t = t[len(p):].strip()
+                break
+        else:
+            for s in _SUFFIX_MARKERS:
+                if t.endswith(s) and len(t) > len(s):
+                    t = t[: -len(s)].strip()
+                    break
+            else:
+                break
+    t = re.sub(r"^[，。、\s]+|[，。、\s]+$", "", t)
+    if t and t != raw:
+        return t
+    info = detect_uncertainty(raw)
+    return info.clean_text if info.has_uncertainty and info.clean_text else raw
+
+
+def _peel_to_title(t: str, known_titles, depth: int):
+    """Smallest peel sequence reaching a known title, or None. A search,
+    not greedy: 不明原因抽搐待查 must peel the 待查 SUFFIX first — greedy
+    prefix peeling would destroy the title 不明原因抽搐 (whose first four
+    chars are themselves a marker)."""
+    if t in known_titles:
+        return t
+    if depth <= 0 or not t:
+        return None
+    for p in _PREFIX_MARKERS:
+        if t.startswith(p) and len(t) > len(p):
+            hit = _peel_to_title(t[len(p):].strip(), known_titles, depth - 1)
+            if hit is not None:
+                return hit
+    for s in _SUFFIX_MARKERS:
+        if t.endswith(s) and len(t) > len(s):
+            hit = _peel_to_title(t[: -len(s)].strip(), known_titles, depth - 1)
+            if hit is not None:
+                return hit
+    return None
+
+
 def unspecified_boost(title: str, code: str, clean_query: str) -> float:
     """Priority-ordered 'unspecified' boost for one candidate."""
     title_l = title.lower()

@@ -426,3 +426,72 @@ class TestFullCorpusTitleRetrievability:
         assert out[0]["diagnosis_confidence"] >= 0.75
         # non-title single chars stay filtered
         assert ep.extract_diagnoses_enhanced("和") == []
+
+
+class TestMarkerAwareEncoding:
+    """clean_for_encoding peels uncertainty markers as AFFIXES with the
+    title set consulted at every step — verbatim titles (incl. the 115
+    that intrinsically contain marker words) encode untouched and
+    marker-wrapped titles peel down to exactly the title."""
+
+    TITLES = frozenset({
+        "原发性血栓形成倾向", "原因不明的小肾", "经表皮排除疾患",
+        "不明原因抽搐", "肺结核,经组织学所证实", "霍乱",
+    })
+
+    def test_intrinsic_marker_titles_untouched(self):
+        from rag_icd10_tpu.pipeline.uncertainty import clean_for_encoding
+
+        for t in self.TITLES:
+            assert clean_for_encoding(t, self.TITLES) == t
+
+    def test_wrapped_titles_peel_to_title(self):
+        from rag_icd10_tpu.pipeline.uncertainty import clean_for_encoding
+
+        cases = {
+            "疑似原发性血栓形成倾向": "原发性血栓形成倾向",
+            "原因不明的小肾待查": "原因不明的小肾",
+            "不排除霍乱": "霍乱",  # reference substring strip gives 不霍乱
+            "不明原因抽搐待查": "不明原因抽搐",  # needs suffix-first search
+            "疑似肺结核,经组织学所证实可能": "肺结核,经组织学所证实",
+            "排除经表皮排除疾患": "经表皮排除疾患",
+        }
+        for q, want in cases.items():
+            assert clean_for_encoding(q, self.TITLES) == want, q
+
+    def test_non_title_still_strips(self):
+        from rag_icd10_tpu.pipeline.uncertainty import clean_for_encoding
+
+        assert clean_for_encoding("疑似急性心肌梗死", self.TITLES) == "急性心肌梗死"
+        assert clean_for_encoding("急性心梗待查", None) == "急性心梗"
+        assert clean_for_encoding("急性阑尾炎", self.TITLES) == "急性阑尾炎"
+
+    def test_marked_titles_extract_whole(self, real_csv_path):
+        """Two marker shapes x full corpus: extraction must return ONE
+        fragment whose encoding text is exactly the title (the round-4
+        gap: marker-wrapped separator-bearing titles lost the bypass and
+        got chopped at the title's own commas)."""
+        from rag_icd10_tpu.config import NERConfig
+        from rag_icd10_tpu.data.corpus import ICDCorpus
+        from rag_icd10_tpu.pipeline.ner import MedicalNERService
+        from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+        from rag_icd10_tpu.pipeline.uncertainty import clean_for_encoding
+
+        corpus = ICDCorpus.from_csv(real_csv_path)
+        titles = frozenset(t.strip() for t in corpus.titles)
+        ner = MedicalNERService(NERConfig(use_model=False))
+        tp = DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner,
+            known_titles=corpus.titles,
+        )
+        bad = []
+        for tpl in ("疑似{t}", "{t}待查"):
+            for t in corpus.titles:
+                out = tp.extract_diagnoses_enhanced(tpl.format(t=t))
+                texts = [d.get("diagnosis_text", d.get("text", ""))
+                         for d in out]
+                if (len(texts) != 1
+                        or clean_for_encoding(texts[0], titles).strip()
+                        != t.strip()):
+                    bad.append((tpl, t, texts))
+        assert not bad, bad[:10]
