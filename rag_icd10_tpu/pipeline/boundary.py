@@ -116,10 +116,14 @@ def _split_outside_parens(text: str, delimiter: str) -> List[str]:
 class SemanticBoundaryDetector:
     """Priority-delimiter segmentation with connection-aware merging."""
 
-    def __init__(self, encoder=None):
+    def __init__(self, encoder=None, keep_short=None):
         self.encoder = encoder  # duck-typed: needs encode_queries/encode_query
         self.semantic_threshold = SEMANTIC_THRESHOLD
         self.min_segment_length = MIN_SEGMENT_LENGTH
+        # optional predicate exempting a segment from the min-length
+        # filter (enhanced.py passes its known-title check so 1-char
+        # corpus titles survive as compound members)
+        self.keep_short = keep_short
 
     # ----------------------------------------------------------- detection
 
@@ -146,7 +150,10 @@ class SemanticBoundaryDetector:
             pos = 0
             for part in parts:
                 part = part.strip()
-                if part and len(part) >= self.min_segment_length:
+                if part and (
+                    len(part) >= self.min_segment_length
+                    or (self.keep_short is not None and self.keep_short(part))
+                ):
                     start = text.find(part, pos)
                     end = start + len(part)
                     candidate.append(

@@ -81,7 +81,9 @@ class EnhancedTextProcessor:
                 cfg = dataclasses.replace(cfg, use_model=use_model_ner)
             self.ner_service = MedicalNERService(cfg)
         self.encoder = encoder
-        self.boundary_detector = SemanticBoundaryDetector(encoder)
+        self.boundary_detector = SemanticBoundaryDetector(
+            encoder, keep_short=self._is_known_title
+        )
         self.known_titles = known_titles
         self.config = {
             "min_diagnosis_length": 2,
@@ -258,7 +260,12 @@ class EnhancedTextProcessor:
                 pos = 0
                 for part in parts:
                     part = part.strip()
-                    if part and len(part) >= min_len:
+                    # a known 1-char title (痔/疣/痈/疖/痣/僵/N) is a valid
+                    # member of a compound; dropping it used to collapse
+                    # the whole split (岩骨脑膜瘤；N stayed one fragment)
+                    if part and (
+                        len(part) >= min_len or self._is_known_title(part)
+                    ):
                         start = text.find(part, pos)
                         if start != -1:
                             boundaries.append((start, start + len(part), part))
@@ -297,9 +304,13 @@ class EnhancedTextProcessor:
         out: List[Dict[str, Any]] = []
         for i, (start, end, btext) in enumerate(boundaries):
             bconf = confs[i] if i < len(confs) else 0.5
+            # a boundary span that IS a known title (with or without an
+            # uncertainty marker) is one diagnosis by fiat — the entity
+            # sub-splitter would chop connective-bearing titles like
+            # 高血压心脏和肾脏病伴有(充血性)心力衰竭 inside compounds
             subs = (
                 self._sub_diagnoses(btext, entities, start, end)
-                if allow_subsplit
+                if allow_subsplit and not self._is_known_title_span(btext)
                 else [
                     {
                         "text": btext,
@@ -484,6 +495,15 @@ class EnhancedTextProcessor:
         for d in filtered:
             dup = False
             for existing in list(deduped):
+                if (
+                    d["metadata"].get("exact_title")
+                    and existing["metadata"].get("exact_title")
+                    and d["text"] != existing["text"]
+                ):
+                    # two DISTINCT corpus titles are never duplicates even
+                    # at high char overlap (心功能III级 vs 心功能Ⅱ级 differ
+                    # only by numeral yet are different diagnoses)
+                    continue
                 if char_jaccard(d["text"], existing["text"]) > 0.8:
                     if d["diagnosis_confidence"] > existing["diagnosis_confidence"]:
                         deduped.remove(existing)

@@ -495,3 +495,43 @@ class TestMarkerAwareEncoding:
                         != t.strip()):
                     bad.append((tpl, t, texts))
         assert not bad, bad[:10]
+
+
+class TestCompoundTitleExtraction:
+    """Compounds of verbatim titles must extract to exactly their members
+    (sampled sweep: 0/15,000 failures across ，/； and 3-member forms)."""
+
+    def _proc(self, titles):
+        from rag_icd10_tpu.config import NERConfig
+        from rag_icd10_tpu.pipeline.ner import MedicalNERService
+        from rag_icd10_tpu.pipeline.textproc import DiagnosisTextProcessor
+
+        ner = MedicalNERService(NERConfig(use_model=False))
+        return DiagnosisTextProcessor(
+            use_enhanced_processing=True, ner_service=ner,
+            known_titles=titles,
+        )
+
+    def _texts(self, tp, q):
+        return [d.get("diagnosis_text", d.get("text", ""))
+                for d in tp.extract_diagnoses_enhanced(q)]
+
+    def test_one_char_title_as_compound_member(self):
+        tp = self._proc(["岩骨脑膜瘤", "痔", "N"])
+        assert sorted(self._texts(tp, "岩骨脑膜瘤；痔")) == ["岩骨脑膜瘤", "痔"]
+        assert sorted(self._texts(tp, "岩骨脑膜瘤；N")) == ["N", "岩骨脑膜瘤"]
+
+    def test_connective_bearing_title_not_subsplit_in_compound(self):
+        t1 = "高血压心脏和肾脏病伴有(充血性)心力衰竭"
+        tp = self._proc([t1, "绦虫病"])
+        assert sorted(self._texts(tp, t1 + "，绦虫病")) == sorted([t1, "绦虫病"])
+
+    def test_distinct_titles_survive_jaccard_dedup(self):
+        a, b = "心功能III级(NYHA分级)", "心功能Ⅱ级(NYHA分级)"
+        tp = self._proc([a, b])
+        assert sorted(self._texts(tp, a + "；" + b)) == sorted([a, b])
+
+    def test_non_title_near_duplicates_still_dedup(self):
+        tp = self._proc(["某某无关"])
+        out = self._texts(tp, "急性上呼吸道感染，急性上呼吸道的感染")
+        assert len(out) == 1
