@@ -233,17 +233,32 @@ def evaluate(
         queries = [c.query for c in tier.cases]
         golds = [c.gold_titles for c in tier.cases]
         hit_titles: List[List[str]] = []
+        # raw recall@1 under the SERVED weighted score vs the UNWEIGHTED
+        # cosine: the gap is the weight-inversion class (a verbatim
+        # detail title loses to a ×1.2 ancestor — reference quirk kept,
+        # SURVEY §2.5#4; 97% of exact-tier raw misses on the incumbent,
+        # scripts/analyze_misses.py), not encoder confusion
+        host_vecs = getattr(store, "_vectors", None)
+        uw_ok = 0
         for lo in range(0, len(queries), batch):
             chunk = queries[lo : lo + batch]
             vecs = np.asarray(encoder.encode_queries(chunk))
             rows = store.search(vecs, top_k=top_k)
             hit_titles.extend([[h.preferred_zh for h in row] for row in rows])
+            if host_vecs is not None:
+                top_uw = np.argmax(vecs @ host_vecs.T, axis=1)
+                uw_ok += sum(
+                    corpus.titles[j] in g
+                    for j, g in zip(top_uw, golds[lo : lo + batch])
+                )
         entry = {
             "n": len(queries),
             "recall@1": round(_recall_at(hit_titles, golds, 1), 4),
             "recall@5": round(_recall_at(hit_titles, golds, 5), 4),
             f"recall@{top_k}": round(_recall_at(hit_titles, golds, top_k), 4),
         }
+        if host_vecs is not None:
+            entry["recall@1_unweighted"] = round(uw_ok / len(queries), 4)
         if matcher is not None:
             entry["pipeline_top1"] = round(
                 _pipeline_top1(matcher, tier), 4

@@ -46,6 +46,8 @@ def contrastive_loss_masked(
     zh: Optional[jnp.ndarray] = None,
     h_group: Optional[jnp.ndarray] = None,
     temperature: float = 0.05,
+    w_b: Optional[jnp.ndarray] = None,
+    w_h: Optional[jnp.ndarray] = None,
 ):
     """InfoNCE with duplicate-collision masking and optional hard negatives.
 
@@ -62,9 +64,27 @@ def contrastive_loss_masked(
     hard negatives in the batch; hard-negative columns whose title id
     equals the anchor's own or its positive's title id are masked
     (cross-example false negatives).
+
+    ``w_b``/``w_h`` (B,) optionally fold the SERVED level weights
+    (config.StoreConfig.level_weights ×1.2/1.0/0.8, fused into every
+    search — SURVEY §2.5#4) into the loss: each comparison column j is
+    scored w_j·cos instead of cos, so the softmax ranks candidates
+    exactly as the weighted search will. A detail-level gold row
+    (w=0.8) must then out-embed a chapter-level rival (w=1.2) by the
+    full 1.5× ratio to win — plain cosine InfoNCE declares victory at
+    any positive margin and leaves those serving-time inversions in
+    place (measured on the incumbent encoder: 97% of exact-tier and
+    87% of paraphrase-tier raw recall@1 misses are weight inversions,
+    scripts/analyze_misses.py). The reverse direction uses
+    the same weighted matrix transposed: a per-row constant scale
+    inside softmax only changes that row's effective temperature
+    (≤20%), never its ordering.
     """
     b = za.shape[0]
-    logits_pos = (za @ zb.T) / temperature  # (B, B)
+    logits_pos = za @ zb.T  # (B, B)
+    if w_b is not None:
+        logits_pos = logits_pos * w_b[None, :]
+    logits_pos = logits_pos / temperature
     # collide on anchor-anchor, positive-positive AND the cross terms:
     # anchor i's title equal to the title of the record behind positive j
     # (e.g. a parent-pair row whose parent is titled like another row's
@@ -79,7 +99,10 @@ def contrastive_loss_masked(
     logits_pos = jnp.where(same & off_diag, -1e9, logits_pos)
     labels = jnp.arange(b)
     if zh is not None:
-        logits_hn = (za @ zh.T) / temperature  # (B, B)
+        logits_hn = za @ zh.T  # (B, B)
+        if w_h is not None:
+            logits_hn = logits_hn * w_h[None, :]
+        logits_hn = logits_hn / temperature
         false_neg = (h_group[None, :] == group_a[:, None]) | (
             h_group[None, :] == group_b[:, None]
         )
@@ -134,6 +157,7 @@ def make_train_step(arch: BertArch, optimizer, temperature: float = 0.05):
             loss, acc = contrastive_loss_masked(
                 za, zb, batch["group_a"], batch["group_b"],
                 zh, batch.get("h_group"), temperature,
+                w_b=batch.get("w_b"), w_h=batch.get("w_h"),
             )
         else:
             loss, acc = contrastive_loss(za, zb, temperature)
@@ -274,6 +298,8 @@ def make_triplet_batch(
     seq_a: int = 48,
     seq_b: int = 96,
     pad_rows: Optional[int] = None,
+    w_b=None,
+    w_h=None,
 ) -> Dict[str, jnp.ndarray]:
     """Tokenize an (anchor, positive, hard-negative) batch with title-group
     ids into static-shape arrays for the masked-loss train step.
@@ -282,6 +308,12 @@ def make_triplet_batch(
     semantic_texts, whose p99 length is ~94 chars in the real corpus, so
     they get their own longer bucket (seq_b) instead of truncating at the
     anchor length.
+
+    ``w_b``/``w_h`` optionally carry the served level weight of the
+    record behind each positive / each hard-negative title; when given,
+    the train step folds them into the logits (contrastive_loss_masked)
+    so training ranks by the weighted serving score. Padding rows get
+    weight 1.0 (their logits are already masked by group collisions).
     """
     a_ids, a_mask, a_types = tokenizer.encode_batch(
         texts_a, max_length=seq_a, buckets=(seq_a,), pad_batch_to=pad_rows
@@ -294,7 +326,7 @@ def make_triplet_batch(
     )
     import numpy as np
 
-    return {
+    out = {
         "a_ids": a_ids, "a_mask": a_mask, "a_types": a_types,
         "b_ids": b_ids, "b_mask": b_mask, "b_types": b_types,
         "h_ids": h_ids, "h_mask": h_mask, "h_types": h_types,
@@ -302,6 +334,15 @@ def make_triplet_batch(
         "group_b": np.asarray(group_b, np.int32),
         "h_group": np.asarray(h_group, np.int32),
     }
+    if w_b is not None:
+        rows = a_ids.shape[0]
+        wb = np.ones(rows, np.float32)
+        wb[: len(w_b)] = np.asarray(w_b, np.float32)
+        wh = np.ones(rows, np.float32)
+        if w_h is not None:
+            wh[: len(w_h)] = np.asarray(w_h, np.float32)
+        out["w_b"], out["w_h"] = wb, wh
+    return out
 
 
 def make_pair_batch(

@@ -55,14 +55,44 @@ class Example:
     sib_titles: Tuple[str, ...]  # same-parent distinct titles (hard negs)
     cousin_titles: Tuple[str, ...]  # same-grandparent, different parent
     augment: bool  # parent-pairs keep the exact child title
+    pos_weight: float = 1.0  # served level weight of the positive's record
+    anc_titles: Tuple[str, ...] = ()  # ancestor titles (parent, gparent)
 
 
-def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
+def title_weight_map(corpus, level_weights=(1.2, 1.0, 0.8)) -> Dict[str, float]:
+    """Title -> the MAX served level weight over rows bearing that title.
+
+    Used to weight hard-negative columns under --weighted-loss: a title
+    appearing at several levels is scored at its most advantaged weight
+    (the adversarial case the gold row must beat at serving)."""
+    w = corpus.level_weights(level_weights)
+    out: Dict[str, float] = {}
+    for t, wi in zip(corpus.titles, w):
+        prev = out.get(t)
+        if prev is None or wi > prev:
+            out[t] = float(wi)
+    return out
+
+
+def build_examples(
+    corpus,
+    level_weights=(1.2, 1.0, 0.8),
+    parent_pairs: bool = True,
+) -> Tuple[List[Example], Dict[str, int]]:
     """Corpus -> training examples + the title->id interning map.
 
     Hard negatives come from the hierarchy: SIBLINGS (same parent — the
-    most confusable class) and COUSINS (same grandparent, different
-    parent — confusable one ring out, e.g. neighboring category blocks).
+    most confusable class), COUSINS (same grandparent, different
+    parent — confusable one ring out, e.g. neighboring category blocks),
+    and ANCESTORS (the parent/grandparent titles themselves — the class
+    the served ×1.2/1.0/0.8 level weights ADVANTAGE over the gold row;
+    scripts/analyze_misses.py measured 97% of exact-tier raw recall@1
+    misses as exactly this inversion, gold_l3 under top_l2/l1).
+
+    ``parent_pairs=False`` drops the (child title -> parent semantic)
+    positive pairs: those pull a child query TOWARD its ancestor, the
+    opposite of what the weighted-loss inversion fix needs; the ablation
+    must be a flag, not an edit.
     """
     title_ids: Dict[str, int] = {}
 
@@ -77,6 +107,7 @@ def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
 
     examples: List[Example] = []
     titles = corpus.titles
+    row_w = corpus.level_weights(level_weights)
     for i in range(len(corpus)):
         t = titles[i]
         parent = corpus.parent_codes[i]
@@ -84,6 +115,7 @@ def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
             titles[j] for j in kids.get(parent, ()) if titles[j] != t
         )
         cousins: Tuple[str, ...] = ()
+        ancestors: Tuple[str, ...] = ()
         pi = c2i.get(parent)
         if pi is not None:
             gparent = corpus.parent_codes[pi]
@@ -94,17 +126,25 @@ def build_examples(corpus) -> Tuple[List[Example], Dict[str, int]]:
                 for j in kids.get(corpus.codes[uncle], ())[:3]
                 if titles[j] != t
             )[:12]
+            gi = c2i.get(gparent)
+            ancestors = tuple(
+                dict.fromkeys(
+                    titles[j]
+                    for j in (pi, gi)
+                    if j is not None and titles[j] != t
+                )
+            )
         examples.append(
             Example(
                 t, corpus.semantic_texts[i], tid(t), tid(t), sibs,
-                cousins, True,
+                cousins, True, float(row_w[i]), ancestors,
             )
         )
-        if pi is not None and titles[pi] != t:
+        if parent_pairs and pi is not None and titles[pi] != t:
             examples.append(
                 Example(
                     t, corpus.semantic_texts[pi], tid(t), tid(titles[pi]),
-                    sibs, cousins, False,
+                    sibs, cousins, False, float(row_w[pi]), ancestors,
                 )
             )
     return examples, title_ids
@@ -137,6 +177,8 @@ def draw_batch(
     augment_prob: float,
     marker_prob: float = 0.0,
     cousin_frac: float = 0.3,
+    ancestor_frac: float = 0.0,
+    title_weights: Dict[str, float] = None,
 ):
     """Materialize one triplet batch; augmentation and hard-negative
     sampling are fresh each draw (new perturbations every epoch).
@@ -148,12 +190,21 @@ def draw_batch(
     negative; 0 disables cousins entirely (the r2 recipe — the gate
     data suggests the r3-added transforms trade paraphrase transfer
     for uncertainty robustness, EVAL_GATE_r04.json, so the ablation
-    must be runnable from the CLI)."""
+    must be runnable from the CLI).
+
+    ancestor_frac is the chance the hard negative is an ANCESTOR title
+    (parent/grandparent) instead — the class the served level weights
+    advantage over the gold row (the weight-inversion miss class,
+    scripts/analyze_misses.py). title_weights (from title_weight_map)
+    switches on the weighted loss: batches carry per-column served
+    weights and the train step ranks by w·cos exactly as search will.
+    """
     from ..data.augment import augment_train, wrap_uncertainty
     from ..parallel.train import make_triplet_batch
 
     texts_a, texts_b, texts_h = [], [], []
     ga, gb, gh = [], [], []
+    w_b, w_h = [], []
     for i in idx:
         e = examples[i]
         a = e.anchor
@@ -163,10 +214,13 @@ def draw_batch(
                 a = v
         if rng.random() < marker_prob:
             a = wrap_uncertainty(a, rng)
-        # hard negative: sibling (1-cousin_frac) of draws, cousin
-        # otherwise (when present); cousin_frac=0 never uses cousins
+        # hard negative ladder: ancestor (ancestor_frac) > cousin
+        # (cousin_frac) > sibling; missing pools fall through
         pool = e.sib_titles
-        if (cousin_frac > 0 and e.cousin_titles
+        if (ancestor_frac > 0 and e.anc_titles
+                and rng.random() < ancestor_frac):
+            pool = e.anc_titles
+        elif (cousin_frac > 0 and e.cousin_titles
                 and (not pool or rng.random() < cousin_frac)):
             pool = e.cousin_titles
         if pool:
@@ -180,9 +234,14 @@ def draw_batch(
         ga.append(e.ga)
         gb.append(e.gb)
         gh.append(title_ids.setdefault(h, len(title_ids)))
+        if title_weights is not None:
+            w_b.append(e.pos_weight)
+            w_h.append(title_weights.get(h, 1.0))
     return make_triplet_batch(
         tok, texts_a, texts_b, texts_h, ga, gb, gh,
         seq_a=seq_a, seq_b=seq_b, pad_rows=len(idx),
+        w_b=w_b if title_weights is not None else None,
+        w_h=w_h if title_weights is not None else None,
     )
 
 
@@ -230,6 +289,27 @@ def main(argv=None) -> int:
         "--marker-prob", type=float, default=0.25,
         help="probability of wrapping an anchor in one of the reference's "
         "uncertainty markers (composable with --augment-prob transforms)",
+    )
+    parser.add_argument(
+        "--weighted-loss", action="store_true",
+        help="fold the served level weights (store config ×1.2/1.0/0.8) "
+        "into the InfoNCE logits: candidates are ranked by w·cos exactly "
+        "as the fused weighted search ranks them, so the gold row must "
+        "open the full weight-ratio margin over level-advantaged rivals "
+        "(97%% of exact-tier raw recall@1 misses are such inversions — "
+        "scripts/analyze_misses.py)",
+    )
+    parser.add_argument(
+        "--ancestor-frac", type=float, default=0.0,
+        help="fraction of hard-negative draws that use an ANCESTOR title "
+        "(parent/grandparent — the weight-advantaged rival class) "
+        "instead of the sibling/cousin ladder",
+    )
+    parser.add_argument(
+        "--no-parent-pairs", action="store_true",
+        help="drop the (child title -> parent semantic_text) positive "
+        "pairs, which pull a child query toward the exact rival class "
+        "the weighted loss must demote",
     )
     parser.add_argument("--out", default="db/trained")
     parser.add_argument(
@@ -300,10 +380,24 @@ def main(argv=None) -> int:
         pairs = make_pairs(corpus)
         logger.info("built %d plain pairs from %d records", len(pairs), len(corpus))
     else:
-        examples, title_ids = build_examples(corpus)
+        examples, title_ids = build_examples(
+            corpus,
+            level_weights=cfg.store.level_weights,
+            parent_pairs=not args.no_parent_pairs,
+        )
         logger.info(
-            "built %d examples (%d distinct titles) from %d records",
+            "built %d examples (%d distinct titles) from %d records%s",
             len(examples), len(title_ids), len(corpus),
+            " (parent pairs dropped)" if args.no_parent_pairs else "",
+        )
+    title_weights = (
+        title_weight_map(corpus, cfg.store.level_weights)
+        if args.weighted_loss else None
+    )
+    if title_weights is not None:
+        logger.info(
+            "weighted loss ON: logits rank by served w·cos "
+            "(level weights %s)", cfg.store.level_weights,
         )
 
     # vocab must cover the augmentation charset (synonym variants, marker
@@ -455,6 +549,7 @@ def main(argv=None) -> int:
                 examples, idx, corpus.titles, title_ids, rng, tok,
                 args.seq_a, args.seq_b, args.augment_prob,
                 args.marker_prob, args.cousin_frac,
+                args.ancestor_frac, title_weights,
             )
         params, opt_state, m = run_step(params, opt_state, batch)
         losses.append(float(m["loss"]))

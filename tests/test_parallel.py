@@ -16,6 +16,7 @@ from rag_icd10_tpu.parallel.mesh import (
 from rag_icd10_tpu.parallel.search import ShardedFlatSearcher
 from rag_icd10_tpu.parallel.train import (
     contrastive_loss,
+    contrastive_loss_masked,
     init_train_state,
     make_sharded_train_step,
     make_train_step,
@@ -135,6 +136,106 @@ class TestTraining:
         params, opt_state, metrics = step(params, opt_state, batch)
         assert np.isfinite(float(metrics["loss"]))
         assert 0.0 <= float(metrics["accuracy"]) <= 1.0
+
+
+class TestWeightedLoss:
+    """--weighted-loss semantics: logits rank by the SERVED score w·cos
+    (store level weights fused into search), so a gold row whose raw
+    cosine wins but whose weighted score loses to a level-advantaged
+    rival must register as a ranking error — that is the weight-inversion
+    miss class scripts/analyze_misses.py measured at 97% of exact-tier
+    raw recall@1 misses."""
+
+    def _rows(self):
+        # row 0: gold cos .9 (w .8) vs rival cos .8 (w 1.2):
+        #   raw .9 > .8 but weighted .72 < .96 — the inversion case
+        # row 1: orthogonal to row 0's columns, unambiguous either way
+        za = np.array([[1, 0, 0, 0], [0, 0, 0, 1]], np.float32)
+        zb = np.array(
+            [[0.9, np.sqrt(1 - 0.81), 0, 0], [0.8, 0, 0, 0.6]], np.float32
+        )
+        ga = np.array([0, 1], np.int32)
+        gb = np.array([2, 3], np.int32)
+        return za, zb, ga, gb
+
+    def test_unweighted_ranks_raw_cosine(self):
+        za, zb, ga, gb = self._rows()
+        _, acc = contrastive_loss_masked(za, zb, ga, gb)
+        assert float(acc) == 1.0
+
+    def test_weight_folding_exposes_inversion(self):
+        za, zb, ga, gb = self._rows()
+        w_b = np.array([0.8, 1.2], np.float32)
+        loss_w, acc = contrastive_loss_masked(za, zb, ga, gb, w_b=w_b)
+        assert float(acc) == 0.5  # row 0 now loses to the x1.2 rival
+        loss_u, _ = contrastive_loss_masked(za, zb, ga, gb)
+        assert float(loss_w) > float(loss_u)
+
+    def test_weighted_hard_negative_column(self):
+        za, _, ga, gb = self._rows()
+        # positives pose no rivalry (col1 orthogonal to row0) so the
+        # flip below is attributable to the weighted hn column alone
+        zb = np.array(
+            [[0.9, np.sqrt(1 - 0.81), 0, 0], [0, 0, 0.8, 0.6]], np.float32
+        )
+        # hard negatives: row0's column has raw cos .8 < gold's .9 but
+        # weight 1.2 folds it to .96 > .72
+        zh = np.array([[0.8, 0, 0.6, 0], [0, 1, 0, 0]], np.float32)
+        hg = np.array([4, 5], np.int32)
+        _, acc_u = contrastive_loss_masked(za, zb, ga, gb, zh, hg)
+        assert float(acc_u) == 1.0
+        w_b = np.array([0.8, 1.2], np.float32)
+        w_h = np.array([1.2, 1.0], np.float32)
+        _, acc_w = contrastive_loss_masked(
+            za, zb, ga, gb, zh, hg, w_b=w_b, w_h=w_h
+        )
+        assert float(acc_w) == 0.5
+
+    def test_train_step_accepts_weight_columns(self):
+        params = init_params(TINY, seed=0)
+        optimizer = optax.adamw(1e-3)
+        opt_state = optimizer.init(params)
+        step = jax.jit(make_train_step(TINY, optimizer))
+        b = 8
+        batch = tiny_batch(b=b)
+        r = np.random.default_rng(3)
+        h_ids = r.integers(1, 128, size=(b, 16)).astype(np.int32)
+        batch.update(
+            h_ids=h_ids, h_mask=np.ones_like(h_ids),
+            h_types=np.zeros_like(h_ids),
+            group_a=np.arange(b, dtype=np.int32),
+            group_b=np.arange(b, b * 2, dtype=np.int32),
+            h_group=np.arange(b * 2, b * 3, dtype=np.int32),
+            w_b=r.choice([0.8, 1.0, 1.2], b).astype(np.float32),
+            w_h=r.choice([0.8, 1.0, 1.2], b).astype(np.float32),
+        )
+        losses = []
+        for _ in range(5):
+            params, opt_state, m = step(params, opt_state, batch)
+            losses.append(float(m["loss"]))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+
+    def test_sharded_step_accepts_weight_columns(self):
+        mesh = make_mesh(n_devices=8, dp=2, tp=4)
+        params, opt_state, optimizer = init_train_state(TINY, mesh=mesh)
+        step = make_sharded_train_step(TINY, mesh, optimizer)
+        b = 8
+        batch = tiny_batch(b=b)
+        r = np.random.default_rng(4)
+        h_ids = r.integers(1, 128, size=(b, 16)).astype(np.int32)
+        batch.update(
+            h_ids=h_ids, h_mask=np.ones_like(h_ids),
+            h_types=np.zeros_like(h_ids),
+            group_a=np.arange(b, dtype=np.int32),
+            group_b=np.arange(b, b * 2, dtype=np.int32),
+            h_group=np.arange(b * 2, b * 3, dtype=np.int32),
+            w_b=r.choice([0.8, 1.0, 1.2], b).astype(np.float32),
+            w_h=r.choice([0.8, 1.0, 1.2], b).astype(np.float32),
+        )
+        b_shard = batch_sharding(mesh)
+        batch = {k: jax.device_put(v, b_shard) for k, v in batch.items()}
+        params, opt_state, m = step(params, opt_state, batch)
+        assert np.isfinite(float(m["loss"]))
 
 
 class TestShardedSearch:

@@ -125,6 +125,118 @@ class TestCousinFrac:
         assert "副霍乱" in self._draw(0.3)
 
 
+class TestWeightedLossData:
+    """build_examples/draw_batch plumbing for --weighted-loss and
+    --ancestor-frac: served level weights ride the batch, ancestor
+    titles are drawable hard negatives, parent pairs are droppable."""
+
+    def _corpus(self):
+        return ICDCorpus.from_rows(
+            [
+                {"code": "A00", "disease": "霍乱"},
+                {"code": "A00.0", "disease": "古典霍乱"},
+                {"code": "A00.001", "disease": "某种霍乱"},
+            ]
+        )
+
+    def test_pos_weight_follows_level(self):
+        from rag_icd10_tpu.tools.train_encoder import build_examples
+
+        examples, _ = build_examples(self._corpus())
+        by_anchor = {
+            (e.anchor, e.positive): e.pos_weight for e in examples
+        }
+        c = self._corpus()
+        assert by_anchor[("霍乱", c.semantic_texts[0])] == pytest.approx(1.2)
+        assert by_anchor[("古典霍乱", c.semantic_texts[1])] == pytest.approx(1.0)
+        assert by_anchor[("某种霍乱", c.semantic_texts[2])] == pytest.approx(0.8)
+        # parent-pair positive carries the PARENT record's weight
+        assert by_anchor[("某种霍乱", c.semantic_texts[1])] == pytest.approx(1.0)
+
+    def test_ancestor_titles_collected(self):
+        from rag_icd10_tpu.tools.train_encoder import build_examples
+
+        examples, _ = build_examples(self._corpus())
+        leaf = [e for e in examples if e.anchor == "某种霍乱"][0]
+        assert set(leaf.anc_titles) == {"古典霍乱", "霍乱"}
+
+    def test_no_parent_pairs_flag(self):
+        from rag_icd10_tpu.tools.train_encoder import build_examples
+
+        with_pairs, _ = build_examples(self._corpus())
+        without, _ = build_examples(self._corpus(), parent_pairs=False)
+        assert len(without) == 3  # one per record
+        assert len(with_pairs) == 5  # + two child->parent pairs
+
+    def test_title_weight_map_takes_max_over_duplicates(self):
+        from rag_icd10_tpu.tools.train_encoder import title_weight_map
+
+        corpus = ICDCorpus.from_rows(
+            [
+                {"code": "B00", "disease": "同名"},
+                {"code": "B00.1", "disease": "同名"},
+            ]
+        )
+        assert title_weight_map(corpus)["同名"] == pytest.approx(1.2)
+
+    def test_draw_batch_carries_weight_columns(self):
+        from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+        from rag_icd10_tpu.tools.train_encoder import (
+            build_examples,
+            draw_batch,
+            title_weight_map,
+        )
+
+        corpus = self._corpus()
+        examples, title_ids = build_examples(corpus)
+        tok = WordPieceTokenizer.from_corpus(
+            list(corpus.titles) + list(corpus.semantic_texts)
+        )
+        tw = title_weight_map(corpus)
+        batch = draw_batch(
+            examples, np.arange(len(examples)), corpus.titles, title_ids,
+            np.random.default_rng(0), tok, seq_a=16, seq_b=32,
+            augment_prob=0.0, marker_prob=0.0, cousin_frac=0.0,
+            ancestor_frac=1.0, title_weights=tw,
+        )
+        assert batch["w_b"].shape == (len(examples),)
+        assert batch["w_h"].shape == (len(examples),)
+        assert np.isclose(
+            batch["w_b"][:, None], [0.8, 1.0, 1.2]
+        ).any(axis=1).all()
+        # without title_weights the keys stay absent (plain objective)
+        plain = draw_batch(
+            examples, np.arange(len(examples)), corpus.titles, title_ids,
+            np.random.default_rng(0), tok, seq_a=16, seq_b=32,
+            augment_prob=0.0, marker_prob=0.0, cousin_frac=0.0,
+        )
+        assert "w_b" not in plain and "w_h" not in plain
+
+    def test_ancestor_frac_draws_ancestor_negatives(self):
+        from rag_icd10_tpu.models.tokenizer import WordPieceTokenizer
+        from rag_icd10_tpu.tools.train_encoder import (
+            build_examples,
+            draw_batch,
+        )
+
+        corpus = self._corpus()
+        examples, title_ids = build_examples(corpus, parent_pairs=False)
+        leaf_idx = [
+            i for i, e in enumerate(examples) if e.anchor == "某种霍乱"
+        ][0]
+        tok = WordPieceTokenizer.from_corpus(
+            list(corpus.titles) + list(corpus.semantic_texts)
+        )
+        batch = draw_batch(
+            examples, np.full(8, leaf_idx), corpus.titles, title_ids,
+            np.random.default_rng(0), tok, seq_a=16, seq_b=32,
+            augment_prob=0.0, marker_prob=0.0, cousin_frac=0.0,
+            ancestor_frac=1.0,
+        )
+        ancestor_ids = {title_ids["霍乱"], title_ids["古典霍乱"]}
+        assert set(np.asarray(batch["h_group"]).tolist()) <= ancestor_ids
+
+
 class TestSelectVocab:
     """Resume runs must tokenize exactly like the original run — a
     charset/synonym-table edit between runs would otherwise shift token
