@@ -15,10 +15,14 @@ dispatch.
 import json
 import os
 
-# pin BLAS threads BEFORE numpy import: the box has one core, but BLAS
-# thread autodetection made the CPU baseline swing 2x run-to-run
-# (BENCH_r02 616 QPS vs BENCH_r03 293 QPS), which doubled/halved
-# vs_baseline for reasons that had nothing to do with the device path
+# pin BLAS threads: the box has one core, but BLAS thread autodetection
+# made the CPU baseline swing 2x run-to-run (BENCH_r02 616 QPS vs
+# BENCH_r03 293 QPS), which doubled/halved vs_baseline for reasons that
+# had nothing to do with the device path. The env vars alone are a NO-OP
+# here — the harness sitecustomize imports jax (and numpy, loading
+# OpenBLAS) at interpreter start, before this module runs — so the
+# baseline loop below ALSO pins at runtime via threadpoolctl, which works
+# after library load; the JSON records the limit actually in force.
 os.environ.setdefault("OMP_NUM_THREADS", "1")
 os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 os.environ.setdefault("MKL_NUM_THREADS", "1")
@@ -147,13 +151,27 @@ def main() -> None:
     # fairly: median of 5 independent reps with pinned BLAS threads (see
     # module top) so vs_baseline stops swinging 2x between rounds; raw
     # reps are recorded in the JSON for auditability
-    (queries @ vectors.T)  # BLAS warm (page-in + plan)
-    cpu_reps = []
-    for _ in range(5):
-        t0 = time.time()
-        s = (queries @ vectors.T) * weights[None, :]
-        np.argpartition(-s, K, axis=1)[:, :K]
-        cpu_reps.append(time.time() - t0)
+    blas_threads = None
+    try:
+        from threadpoolctl import threadpool_limits
+
+        limiter = threadpool_limits(limits=1)
+        blas_threads = 1
+    except ImportError:
+        # env-var fallback only pins when numpy was NOT preimported by
+        # the harness sitecustomize; record unknown rather than claim 1
+        limiter = None
+    try:
+        (queries @ vectors.T)  # BLAS warm (page-in + plan)
+        cpu_reps = []
+        for _ in range(5):
+            t0 = time.time()
+            s = (queries @ vectors.T) * weights[None, :]
+            np.argpartition(-s, K, axis=1)[:, :K]
+            cpu_reps.append(time.time() - t0)
+    finally:
+        if limiter is not None:
+            limiter.unregister()
     cpu_time = float(np.median(cpu_reps))
     cpu_qps = B / cpu_time
 
@@ -171,7 +189,7 @@ def main() -> None:
             "certified_fraction": round(certified, 4),
             "cpu_baseline_qps": round(cpu_qps, 1),
             "cpu_baseline_reps_ms": [round(r * 1000, 1) for r in cpu_reps],
-            "cpu_blas_threads": os.environ.get("OMP_NUM_THREADS"),
+            "cpu_blas_threads": blas_threads,  # None = not pinned
             "corpus_rows": int(n),
         },
     }

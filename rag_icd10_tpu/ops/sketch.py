@@ -202,6 +202,9 @@ def sketch_search_host_rerank(
     """
     if m <= 0:
         m = max(8 * k, 64)
+    # an operator-configured fetch (SKETCH_FETCH) below k would silently
+    # truncate results to m rows — the fetch must at least cover k
+    m = max(m, k)
     m = min(m, store.n_real)
     idx_m = np.asarray(sketch_screen(store, queries, m))  # (B, m)
     q = np.asarray(queries, dtype=np.float32)

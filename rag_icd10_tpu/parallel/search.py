@@ -128,16 +128,28 @@ class ShardedFlatSearcher:
                 ) * weights[None, :] + mask[None, :]
                 cm = jnp.max(s.reshape(b, nc, 128), axis=2)
                 cvals, cidx = jax.lax.top_k(cm, mc)
-                blocks = jnp.take(
-                    corpus.reshape(nc, 128, -1), cidx, axis=0
-                )  # (b, mc, 128, D)
-                wb = jnp.take(weights.reshape(nc, 128), cidx, axis=0)
-                mb = jnp.take(mask.reshape(nc, 128), cidx, axis=0)
-                raw = jnp.einsum(
-                    "bd,bmrd->bmr", q, blocks, precision=prec,
-                    preferred_element_type=jnp.float32,
-                )
-                scores = (raw * wb + mb).reshape(b, mc * 128)
+                # pass 2 scans the mc selected chunk slots: each step
+                # gathers one (b, 128, D) block set and re-scores it —
+                # a single jnp.take over all slots would materialize
+                # (b, mc, 128, D), ~1.6 GB fp32 at b=64 mc=64 d=768,
+                # next to the shard corpus in HBM on exactly the
+                # huge-corpus deployments this method targets
+                corpus3 = corpus.reshape(nc, 128, -1)
+                w2 = weights.reshape(nc, 128)
+                m2 = mask.reshape(nc, 128)
+
+                def rescore_slot(_, ci):
+                    blocks = jnp.take(corpus3, ci, axis=0)  # (b, 128, D)
+                    raw = jnp.einsum(
+                        "bd,brd->br", q, blocks, precision=prec,
+                        preferred_element_type=jnp.float32,
+                    )
+                    return None, raw * jnp.take(w2, ci, axis=0) + jnp.take(
+                        m2, ci, axis=0
+                    )
+
+                _, sc = jax.lax.scan(rescore_slot, None, cidx.T)
+                scores = jnp.transpose(sc, (1, 0, 2)).reshape(b, mc * 128)
                 vals, sel = jax.lax.top_k(scores, k)
                 cols = (
                     cidx[:, :, None] * 128

@@ -61,12 +61,19 @@ DEPENDENT_RE = re.compile(r"(?:伴有|合并|继发)")
 
 # ICD qualifier-clause cues: how the 3,838 comma-holding corpus titles'
 # tail segments begin or end (measured over the full corpus — location/
-# activity 在…, 不可归类在他处者, 意图未确定, 伴有/不伴有…, 未特指, 经…
-# 证实, 由于…所致, 除外…, 累及…). Only applied when the segment has no
-# disease term of its own (_merge_connection_cases).
+# activity 在…中的人员, 不可归类在他处者, 意图未确定, 伴有/不伴有…,
+# 未特指, 经…证实, 由于…所致, 除外…, 累及…). Only applied when the
+# segment has no disease term of its own (_merge_connection_cases).
+# Single-word PREFIXES that also open ordinary symptom clauses (经常头晕,
+# 目前咳嗽, 于今晨加重) are deliberately absent: a real qualifier tail
+# starting 经/在/于/目前 ends with one of the suffix anchors (证实/所致/
+# 者/区域/人员/中) and matches through those — the bare prefixes would
+# swallow genuine second segments ("高血压，经常头晕" must keep
+# splitting; the full-corpus title invariant pins the other direction).
 QUALIFIER_TAIL_RE = re.compile(
-    r"^\s*(?:在|于|不可归类|意图|(?:并|也|但)?(?:伴有|不伴)|未特指|未做|"
-    r"未?累及|除外|经|仅经|由于|弥漫|目前|作为)|(?:所致|证实|者|区域)\s*$"
+    r"^\s*(?:不可归类|意图|(?:并|也|但)?(?:伴有|不伴)|未特指|未做|"
+    r"未?累及|除外|仅经|由于|弥漫|作为)"
+    r"|(?:所致|证实|者|区域|人员|中)\s*$"
 )
 
 SEMANTIC_THRESHOLD = 0.75
@@ -90,9 +97,15 @@ def _split_outside_parens(text: str, delimiter: str) -> List[str]:
     cur: List[str] = []
     depth = 0
     prev = ""
-    for ch in text:
+    for i, ch in enumerate(text):
         if ch in _PAREN_OPEN:
-            depth += 1
+            # an opener with NO closer anywhere after it is inert (typo'd
+            # bracket): depth would otherwise never return to 0 and every
+            # later delimiter stops splitting — while the regex splitters
+            # (enhanced._NOT_IN_BRACKETS, textproc.SEPARATOR_RE) DO split
+            # the same text, and the two paths must agree
+            if any(c in text[i + 1:] for c in _PAREN_CLOSE):
+                depth += 1
         elif ch in _PAREN_CLOSE:
             depth = max(0, depth - 1)
         split_here = ch == delimiter and depth == 0

@@ -406,11 +406,29 @@ class HierarchicalSimilarityService:
         # misses were a capped gold at rank 2-3 behind a sibling with
         # LOWER raw similarity).
         q = processed_query.strip()
+
+        def raw_similarity(cand: Dict) -> float:
+            # original_score carries TWO reference-mandated semantics:
+            # search hits store the raw UNWEIGHTED cosine
+            # (vector_store.SearchHit, milvus_service.py:174-186), while
+            # uncertainty-boosted candidates store the WEIGHTED pre-boost
+            # score (uncertainty.py, uncertainty_diagnosis_service.py:
+            # 190-238). Comparing the two directly would hand boosted
+            # ancestors a ×1.2 head start — the exact inversion class
+            # this tie-break exists to break — so undo the level weight
+            # on the boosted form to land both on the unweighted scale.
+            raw = float(cand.get("original_score", cand.get("score", 0.0)))
+            if "uncertainty_boost" in cand:
+                w = self.level_weights.get(int(cand.get("level", 2)), 1.0)
+                if w:
+                    raw /= w
+            return raw
+
         results.sort(
             key=lambda x: (
                 x[1],
                 x[0].get("preferred_zh", "").strip() == q,
-                float(x[0].get("original_score", x[0].get("score", 0.0))),
+                raw_similarity(x[0]),
             ),
             reverse=True,
         )

@@ -242,7 +242,23 @@ class Engine:
             return
         overfetch = self.config.pipeline.overfetch
         rng = np.random.default_rng(0)
+        host_tier = (
+            getattr(self.store.config, "device_dtype", "") == "host"
+        )
+        if host_tier and not any(m in ("sketch", "hnsw") for m in methods):
+            # the default 'fast,streaming' list has nothing servable on
+            # the host tier — warm the method it will actually serve
+            methods.append("sketch")
         for method in methods:
+            if host_tier and method not in ("sketch", "hnsw"):
+                # the host tier serves only sketch/hnsw (vector_store
+                # residency guard); warming the default 'fast,streaming'
+                # list would raise and abort the rest of the sweep
+                logger.info(
+                    "warmup: skipping method=%s (host-tier store serves "
+                    "sketch/hnsw only)", method,
+                )
+                continue
             t0 = time.time()
             if method == "hnsw":
                 self.store.build_hnsw()

@@ -316,7 +316,16 @@ def main(argv=None) -> int:
         "--init-from", default=None,
         help="warm-start params from a params.npz checkpoint (the axon "
         "tunnel can wedge mid-run — resume from the last --save-every "
-        "checkpoint instead of restarting; optimizer state restarts)",
+        "checkpoint instead of restarting); a sibling opt_state.npz is "
+        "adopted too (full resume: Adam moments + schedule step)",
+    )
+    parser.add_argument(
+        "--params-only", action="store_true",
+        help="with --init-from: adopt the donor's params but NOT its "
+        "opt_state — for warm-starting a NEW recipe/schedule from a "
+        "finished run (a full resume would drive the new schedule from "
+        "the donor's step count: lr≈0, or zero steps when donor step "
+        ">= --steps)",
     )
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--dp", type=int, default=0, help="mesh dp (0 = single device)")
@@ -442,6 +451,13 @@ def main(argv=None) -> int:
         # warm start restarts both, which bumped the loss 0.10 -> 0.19 on
         # the round-3 wedge-resume and wasted the schedule tail
         opt_path = Path(args.init_from).parent / "opt_state.npz"
+        if args.params_only:
+            # cross-RECIPE warm start: adopting the donor's opt_state
+            # would drive the new schedule from the donor's step count
+            # (lr ~ 0 when the donor finished its own run) or skip
+            # training entirely when donor step >= --steps
+            logger.info("--params-only: donor optimizer state ignored")
+            opt_path = Path("/nonexistent")
         if opt_path.exists():
             flat = np.load(str(opt_path))
             leaves, treedef = jax.tree_util.tree_flatten(opt_state)
@@ -458,8 +474,18 @@ def main(argv=None) -> int:
                     "opt_state.npz leaf count mismatch — fresh optimizer"
                 )
         if start_step >= args.steps:
-            logger.info("checkpoint already at %d >= --steps %d; nothing "
-                        "to train", start_step, args.steps)
+            # intended when an eval gate follows (the recovery chain
+            # gate-evals a finished checkpoint this way); anything else
+            # is almost certainly a mis-set --steps or a cross-recipe
+            # warm start that wanted --params-only
+            logger.warning(
+                "checkpoint already at step %d >= --steps %d: ZERO "
+                "training steps will run — the donor weights are "
+                "re-saved%s. For a cross-recipe warm start pass "
+                "--params-only.",
+                start_step, args.steps,
+                " and eval-gated" if args.eval_gate else "",
+            )
 
     if args.dp:
         from ..parallel.mesh import batch_sharding, make_mesh
@@ -523,7 +549,7 @@ def main(argv=None) -> int:
             order = rng.permutation(n_examples)
             cursor = args.batch - tail
     t0 = time.time()
-    losses = [float("nan")]
+    losses = []
     for step in range(start_step, args.steps):
         # epoch-clean cursor: consume the tail of the old permutation and
         # top up from a fresh one (no skipped tail / double-sampled head)
@@ -565,8 +591,11 @@ def main(argv=None) -> int:
             logger.info("checkpoint saved at step %d -> %s", step + 1, out)
 
     save_checkpoint(params, opt_state, args.steps)
-    logger.info("saved trained params -> %s/params.npz (final loss %.4f)",
-                out, float(np.mean(losses[-args.log_every:])))
+    final_loss = (
+        float(np.mean(losses[-args.log_every:])) if losses else float("nan")
+    )
+    logger.info("saved trained params -> %s/params.npz (final loss %.4f "
+                "over %d steps)", out, final_loss, len(losses))
     print(f"export EMBEDDING_WEIGHTS_PATH={out}/params.npz")
     print(f"export EMBEDDING_VOCAB_PATH={out}/vocab.txt")
     if args.eval_gate is not None:

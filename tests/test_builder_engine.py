@@ -108,6 +108,37 @@ class TestBuilderEngineRoundtrip:
         assert result["total_matches"] > 0
         engine.shutdown()
 
+    def test_warmup_on_host_tier_serves_sketch(self, tiny_env):
+        """A host-resident store rejects full-precision methods, so the
+        default WARMUP_SEARCH_METHODS ('fast,streaming') used to raise in
+        the warmup sweep and abort it. The sweep must instead skip the
+        unservable methods and warm the sketch path the tier will serve."""
+        tmp_path, cfg = tiny_env
+        import dataclasses
+
+        from rag_icd10_tpu.tools.build_database import DatabaseBuilder
+
+        cfg = dataclasses.replace(
+            cfg,
+            store=dataclasses.replace(
+                cfg.store, db_path=str(tmp_path / "store_host"),
+                pad_multiple=128, device_dtype="host", sketch_dim=32,
+            ),
+            api=dataclasses.replace(
+                cfg.api, warmup_methods="fast,streaming", max_batch=2
+            ),
+        )
+        assert DatabaseBuilder(cfg).build_full_database(rebuild=True)
+
+        from rag_icd10_tpu.runtime import Engine
+
+        engine = Engine(cfg)
+        engine.startup(warmup=False)
+        engine.init_matcher()
+        engine.warmup()  # must not raise
+        assert engine.store._sketch is not None  # sketch path warmed
+        engine.shutdown()
+
     def test_incremental_append(self, tiny_env):
         """build_full_database without --rebuild appends new CSV rows to
         the existing store (reference tools/build_database.py:297-310

@@ -142,6 +142,32 @@ class TestHierarchy:
             assert scores == [1.8, 1.8], "premise: both candidates cap at 1.8"
             assert results[0][0]["code"] == "I21.2"
 
+    def test_capped_tie_key_normalizes_boosted_original_score(self):
+        # original_score has two reference-mandated semantics: raw
+        # UNWEIGHTED cosine on search hits vs WEIGHTED pre-boost score on
+        # uncertainty-boosted candidates. The tertiary tie-break must undo
+        # the level weight on the boosted form, or a x1.2 ancestor with
+        # LOWER raw similarity (1.08/1.2 = 0.90 < 0.95) outranks the gold
+        # row at the cap — the weight-inversion class the key exists to fix.
+        base = make_candidates()[0]
+        gold = dict(
+            base, id=30, code="I21.1", preferred_zh="急性前壁心肌梗死",
+            score=1.70, original_score=0.95, level=3,
+        )
+        boosted = dict(
+            base, id=31, code="I21", preferred_zh="急性心肌梗死未特指",
+            score=1.69, original_score=1.08, level=1,
+            uncertainty_boost=0.3, uncertainty_weight=1.0,
+        )
+        query = "急性心肌梗死心脏高血压心肌"
+        for order in ([gold, boosted], [boosted, gold]):
+            results = self.svc.batch_calculate_similarities(
+                query, QUERY_ENTITIES, order
+            )
+            scores = [s for _, s, _ in results]
+            assert scores == [1.8, 1.8], "premise: both candidates cap at 1.8"
+            assert results[0][0]["code"] == "I21.1"
+
     def test_exact_title_outranks_capped_sibling(self):
         # Secondary key: an exact-title candidate beats a non-exact one at
         # equal capped score even when its raw similarity is LOWER.

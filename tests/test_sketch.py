@@ -201,3 +201,11 @@ class TestSketchAsPerRequestMethod:
         store, _, q = _store(sketch_fetch=32)
         hits = store.search(q, top_k=5, method="sketch")
         assert all(len(h) == 5 for h in hits)
+
+    def test_sketch_fetch_below_k_still_returns_k(self):
+        # an operator SKETCH_FETCH below the effective k (orchestrator
+        # over-fetch routinely asks for 50) must not silently truncate
+        # the result rows — the fetch floors at k
+        store, _, q = _store(sketch_fetch=4)
+        hits = store.search(q, top_k=16, method="sketch")
+        assert all(len(h) == 16 for h in hits)

@@ -297,6 +297,31 @@ class TestBoundary:
         b = det.detect_diagnosis_boundaries("高血压病+2型糖尿病")
         assert [t for _, _, t in b] == ["高血压病", "2型糖尿病"]
 
+    def test_symptom_tail_with_weak_prefix_still_splits(self):
+        # 经常/目前/在/于 open ordinary symptom clauses, not only ICD
+        # qualifier tails — the bare prefixes must not swallow a genuine
+        # second segment (a real qualifier tail matches via its suffix:
+        # 证实/所致/者/区域)
+        det = SemanticBoundaryDetector()
+        for q, parts in [
+            ("高血压，经常头晕", ["高血压", "经常头晕"]),
+            ("冠心病，目前咳嗽", ["冠心病", "目前咳嗽"]),
+            ("肺结核,经组织学所证实", ["肺结核,经组织学所证实"]),
+        ]:
+            b = det.detect_diagnosis_boundaries(q)
+            assert [t for _, _, t in b] == parts, q
+
+    def test_unbalanced_open_bracket_does_not_suppress_splits(self):
+        # a typo'd opener with no closer anywhere after it is inert —
+        # depth would otherwise never return to 0 and every later comma
+        # stops splitting, while the regex splitters DO split this text
+        det = SemanticBoundaryDetector()
+        b = det.detect_diagnosis_boundaries("左肺（上叶结节，高血压，2型糖尿病")
+        assert [t for _, _, t in b] == ["左肺（上叶结节", "高血压", "2型糖尿病"]
+        # balanced pairs keep suppressing
+        b2 = det.detect_diagnosis_boundaries("左肺（上叶，结节），高血压")
+        assert [t for _, _, t in b2] == ["左肺（上叶，结节）", "高血压"]
+
 
 class TestEnhancedProcessor:
     @pytest.fixture()
