@@ -91,6 +91,12 @@ static inline float bf16_to_f(uint16_t u) {
 static inline uint16_t f_to_bf16(float f) {
     uint32_t x;
     std::memcpy(&x, &f, 4);
+    // NaN/Inf: the round-to-nearest-even carry below can ripple a
+    // NaN's all-ones payload into the sign bit (0x7FFFFFFF -> -0.0f,
+    // a silent zero vector). Keep non-finite values non-finite: NaNs
+    // quiet to 0x..C0, infinities truncate exactly.
+    if ((x & 0x7F800000u) == 0x7F800000u)
+        return uint16_t((x >> 16) | ((x & 0x007FFFFFu) ? 0x0040u : 0u));
     x += 0x7FFFu + ((x >> 16) & 1u);  // round to nearest even
     return uint16_t(x >> 16);
 }
@@ -499,9 +505,37 @@ class HNSW {
         }
         bool v2 = header[0] == int32_t(0x484E5358);
         int n = header[4];
+        // a corrupt file with a valid magic must fail CLEANLY (nullptr →
+        // IOError in hnsw_index.py), not resize(-1) into a bad_alloc
+        // that std::terminates across the extern "C" boundary — bound
+        // every on-disk count before trusting it
+        if (n < 0 || header[1] <= 0 || header[1] > (1 << 16) ||
+            header[2] <= 0 || header[2] > 4096 ||
+            header[3] <= 0 || header[3] > (1 << 20)) {
+            std::fclose(f);
+            return nullptr;
+        }
+        // n must be consistent with the actual file size, or a corrupt
+        // huge n drives a multi-GB resize (bad_alloc) before any fread
+        // can fail
+        long data_at = std::ftell(f);
+        std::fseek(f, 0, SEEK_END);
+        long fsize = std::ftell(f);
+        std::fseek(f, data_at, SEEK_SET);
+        // lower bound: vectors (>=2 B/elem) + levels + one level count
+        // per node; meta still unread (<= 12 B slack)
+        long need = long(n) * header[1] * 2 + long(n) * 8;
+        if (fsize - data_at < need) {
+            std::fclose(f);
+            return nullptr;
+        }
         int32_t meta[3] = {0, 0, 0};
         size_t meta_n = v2 ? 3 : 2;
         if (std::fread(meta, sizeof(int32_t), meta_n, f) != meta_n) {
+            std::fclose(f);
+            return nullptr;
+        }
+        if (meta[0] < -1 || meta[0] >= n || meta[1] < 0 || meta[1] > 64) {
             std::fclose(f);
             return nullptr;
         }
@@ -527,14 +561,22 @@ class HNSW {
         h->neighbors_.resize(n);
         for (int i = 0; i < n; ++i) {
             int32_t nl;
-            if (std::fread(&nl, sizeof(nl), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+            if (std::fread(&nl, sizeof(nl), 1, f) != 1 ||
+                nl < 0 || nl > 64) { std::fclose(f); delete h; return nullptr; }
             h->neighbors_[i].resize(nl);
             for (int l = 0; l < nl; ++l) {
                 int32_t cnt;
-                if (std::fread(&cnt, sizeof(cnt), 1, f) != 1) { std::fclose(f); delete h; return nullptr; }
+                if (std::fread(&cnt, sizeof(cnt), 1, f) != 1 ||
+                    cnt < 0 || cnt > 4096) { std::fclose(f); delete h; return nullptr; }
                 h->neighbors_[i][l].resize(cnt);
                 if (cnt && std::fread(h->neighbors_[i][l].data(), sizeof(int32_t), cnt, f) != size_t(cnt)) {
                     std::fclose(f); delete h; return nullptr;
+                }
+                for (int32_t c = 0; c < cnt; ++c) {
+                    int32_t id = h->neighbors_[i][l][c];
+                    // out-of-range ids would read past vec()/stamps[]
+                    // during the first search
+                    if (id < 0 || id >= n) { std::fclose(f); delete h; return nullptr; }
                 }
             }
         }
@@ -678,6 +720,15 @@ uint64_t hnsw_memory_bytes(void* h) {
 int hnsw_save(void* h, const char* path) {
     return static_cast<HNSW*>(h)->save(path) ? 1 : 0;
 }
-void* hnsw_load(const char* path) { return HNSW::load(path); }
+void* hnsw_load(const char* path) {
+    // belt-and-braces: a corrupt file must NEVER throw across the
+    // ctypes boundary (std::terminate) — any allocation/length error
+    // becomes the nullptr → IOError contract
+    try {
+        return HNSW::load(path);
+    } catch (...) {
+        return nullptr;
+    }
+}
 
 }  // extern "C"

@@ -163,13 +163,18 @@ class StoreConfig:
     sketch_fetch: int = field(
         default_factory=lambda: _env_int("SKETCH_FETCH", 0)
     )
-    # pass-1 scan mode for the "chunkstream" search method
-    # (ops/chunk_stream.py): "xla" (fp32 HIGHEST dot + fused chunk-max —
-    # measured fastest on v5e), "pallas" ((B, N) provably never reaches
-    # HBM), "xla_high", or the reduced-residency scans "bf16" / "int8"
-    # (2x/4x less pass-1 HBM traffic, measured-residual certificates).
+    # pass-1 scan for the "chunkstream" search method, grammar
+    # engine[_dtype] (ops/chunk_stream.py): "pallas" — the streaming
+    # kernel, (B, N) provably never reaches HBM, measured fastest on
+    # v5e at EVERY dtype (config 6 r4: fp32 1.8-2.0x the materialized
+    # scan, bf16 2.2x, int8 2.3x); "pallas_bf16" / "pallas_int8" run it
+    # over a half/quarter-residency store (measured-residual
+    # certificates); "xla" / "xla_high" — XLA dot + fused chunk-max over
+    # fp32; "bf16" / "int8" — the XLA engine over the reduced stores.
+    # Off-TPU the pallas engines fall back to XLA, keeping the store
+    # dtype.
     chunkstream_scan: str = field(
-        default_factory=lambda: _env("CHUNKSTREAM_SCAN", "xla")
+        default_factory=lambda: _env("CHUNKSTREAM_SCAN", "pallas")
     )
     # int8 re-rank location: "device" (default) re-ranks the int8 scan's
     # candidates ON DEVICE with the full-precision query against the

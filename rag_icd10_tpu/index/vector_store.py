@@ -368,7 +368,10 @@ class VectorStore:
             weights = self.corpus.level_weights(self.config.level_weights)
             self._chunkstore = ChunkStore.build(
                 self._vectors, weights,
-                scan_dtype=scan if scan in ("bf16", "int8") else "fp32",
+                scan_dtype={
+                    "bf16": "bf16", "pallas_bf16": "bf16",
+                    "int8": "int8", "pallas_int8": "int8",
+                }.get(scan, "fp32"),
             )
         return self._chunkstore
 
@@ -584,11 +587,21 @@ class VectorStore:
 
             cs = self._ensure_chunkstore()
             scan = self.config.chunkstream_scan
+            # knob grammar: engine[_dtype]. pallas/pallas_bf16/pallas_int8
+            # run the streaming kernel over an fp32/bf16/int8 store (the
+            # kernel adapts to the stored dtype — measured fastest at
+            # every dtype, config 6 r4); bf16/int8 are the XLA-engine
+            # spellings over the same reduced stores; xla/xla_high scan
+            # fp32. The engine falls back to XLA off-TPU (no Mosaic),
+            # KEEPING the reduced store dtype.
+            engine = "pallas" if scan.startswith("pallas") else scan
             interpret = jax.default_backend() != "tpu"
-            if interpret and scan == "pallas":
-                scan = "xla"  # pass-1 without Mosaic off-TPU
+            if interpret and engine == "pallas":
+                engine = {
+                    "pallas_bf16": "bf16", "pallas_int8": "int8",
+                }.get(scan, "xla")
             vals, idx, cert = chunk_stream.search(
-                cs, q_pad, k=k_pad, scan=scan, interpret=interpret
+                cs, q_pad, k=k_pad, scan=engine, interpret=interpret
             )
             if not bool(np.asarray(cert).all()):
                 if _use_pallas():

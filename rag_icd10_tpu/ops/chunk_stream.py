@@ -107,15 +107,19 @@ def transposed_tile_n(batch: int, n: int, dim: int, cap: int = 2048,
                       itemsize: int = 4) -> int:
     """Largest T with (D, T) double-buffered tiles + (B, T) scores + the
     (B, D) query block within ~13 MB of VMEM. itemsize is the stored
-    corpus_t element width (4 fp32, 2 bf16, 1 int8)."""
-    budget = 13 * 1024 * 1024 - batch * dim * 4
-    tile = cap
-    while tile >= 128:
-        need = 2 * tile * dim * itemsize + 2 * batch * tile * 4
-        if need <= budget and n % tile == 0:
-            return tile
-        tile //= 2
-    raise ValueError(f"no tile in [128, {cap}] divides N={n} at B={batch}")
+    corpus_t element width (4 fp32, 2 bf16, 1 int8).
+
+    Delegates to pallas_score.default_tile_n — ONE VMEM-budget model for
+    every kernel: 2 double-buffered (D, T) corpus tiles at itemsize,
+    2 (B, T) fp32 temporaries (scores + chunk max), and a query block
+    that is always fp32 (fixed_bytes compensates default_tile_n's
+    corpus-width query accounting when the stored dtype is narrower)."""
+    from .pallas_score import default_tile_n
+
+    return default_tile_n(
+        batch, n, dtype_bytes=itemsize, cap=cap, dim=dim,
+        temporaries=2, fixed_bytes=batch * dim * (4 - itemsize),
+    )
 
 
 def chunk_maxima_transposed(
@@ -331,60 +335,17 @@ class ChunkStore:
         tile_cap: int = 2048,
         scan_dtype: str = "fp32",
     ) -> "ChunkStore":
-        from .flat_topk import pad_corpus
-
-        assert scan_dtype in ("fp32", "bf16", "int8"), scan_dtype
-        cp, wp, mask = pad_corpus(
-            np.asarray(vectors, np.float32), np.asarray(weights, np.float32),
-            multiple=tile_cap,
-        )
-        n = cp.shape[0]
-        tile_n = transposed_tile_n(
-            batch_hint, n, cp.shape[1], cap=tile_cap,
-            itemsize={"fp32": 4, "bf16": 2, "int8": 1}[scan_dtype],
-        )
-        folded = cp * wp[:, None]
-        bscale = float(np.linalg.norm(folded, axis=1).max()) or 1.0
-        scales = None
-        resid_max = 0.0
-        if scan_dtype == "bf16":
-            import jax.numpy as _jnp
-
-            ct_store = np.asarray(
-                _jnp.asarray(folded.T.copy()).astype(_jnp.bfloat16)
-            )
-            deq = np.asarray(
-                _jnp.asarray(ct_store).astype(_jnp.float32)
-            ).T
-            resid_max = float(
-                np.linalg.norm(folded - deq, axis=1).max()
-            )
-            ct_dev = jax.device_put(ct_store)
-        elif scan_dtype == "int8":
-            s = np.abs(folded).max(axis=1) / 127.0
-            s[s == 0.0] = 1.0
-            q8 = np.clip(
-                np.rint(folded / s[:, None]), -127, 127
-            ).astype(np.int8)
-            resid_max = float(
-                np.linalg.norm(folded - q8.astype(np.float32) * s[:, None],
-                               axis=1).max()
-            )
-            ct_dev = jax.device_put(q8.T.copy())
-            scales = jax.device_put(s.astype(np.float32))
-        else:
-            ct_dev = jax.device_put(folded.T.copy())
-        return cls(
-            corpus_t=ct_dev,
-            corpus=jax.device_put(cp),
-            weights=jax.device_put(wp),
-            mask=jax.device_put(mask),
-            n_real=int(vectors.shape[0]),
-            tile_n=tile_n,
-            bound_scale=bscale,
+        """Host-convenience wrapper: device_put the inputs and delegate
+        to build_device, so exactly ONE implementation of the pad/fold/
+        quantize/residual math exists — the exactness certificates are
+        only sound if the build-side residual measurement matches the
+        stored corpus bit-for-bit, and a second hand-maintained host
+        spelling of the same pipeline is where such drift starts."""
+        v = jax.device_put(np.asarray(vectors, np.float32))
+        w = jax.device_put(np.asarray(weights, np.float32))
+        return build_device(
+            v, w, batch_hint=batch_hint, tile_cap=tile_cap,
             scan_dtype=scan_dtype,
-            scales=scales,
-            resid_max=resid_max,
         )
 
 
@@ -405,13 +366,13 @@ def _build_device_arrays(v, w, n_pad: int, scan_dtype: str):
         deq = ct.astype(jnp.float32).T
         resid = jnp.sqrt(jnp.max(jnp.sum((folded - deq) ** 2, axis=1)))
     elif scan_dtype == "int8":
-        s = jnp.max(jnp.abs(folded), axis=1) / 127.0
-        s = jnp.where(s == 0.0, 1.0, s)
-        q8 = jnp.clip(jnp.rint(folded / s[:, None]), -127, 127)
-        ct = q8.astype(jnp.int8).T
-        deq = q8 * s[:, None]
+        from .quantized import quantize_rows
+
+        q8, s = quantize_rows(folded, xp=jnp)  # the ONE quantization law
+        ct = q8.T
+        deq = q8.astype(jnp.float32) * s[:, None]
         resid = jnp.sqrt(jnp.max(jnp.sum((folded - deq) ** 2, axis=1)))
-        scales = s.astype(jnp.float32)
+        scales = s
     else:
         ct = folded.T
         resid = jnp.float32(0.0)

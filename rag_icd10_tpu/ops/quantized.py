@@ -23,12 +23,19 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def quantize_rows(x: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Symmetric per-row int8 quantization: x ≈ q * scale[:, None]."""
-    x = np.asarray(x, np.float32)
-    absmax = np.abs(x).max(axis=1)
-    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
-    q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
+def quantize_rows(x, xp=np) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-row int8 quantization: x ≈ q * scale[:, None].
+
+    ``xp`` selects the array backend (numpy host / jax.numpy device) so
+    ONE quantization law serves every consumer — int8 store residency,
+    the sketch screen, and the chunk-store build. The chunk-stream
+    certificates measure the build-time residual against exactly this
+    law; a second spelling drifting (clip range, zero guard, rounding
+    mode) would silently unsound them."""
+    x = xp.asarray(x, xp.float32)
+    absmax = xp.abs(x).max(axis=1)
+    scale = xp.where(absmax > 0, absmax / 127.0, 1.0).astype(xp.float32)
+    q = xp.clip(xp.rint(x / scale[:, None]), -127, 127).astype(xp.int8)
     return q, scale
 
 

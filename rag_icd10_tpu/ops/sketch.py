@@ -90,6 +90,12 @@ class SketchStore:
     mask: object  # (N_pad,) additive fp32 device (0 real / -1e30 pad)
     n_real: int
     d_sketch: int
+    # rows per screen step: 0 = one materializing int8 scan (fine up to
+    # ~1M rows); >0 = lax.scan over chunks with a running top-m merge,
+    # so the screen's transient is (B, chunk) instead of (B, N) — the
+    # (B, N) int32+fp32 pair is ~2 GB/M-rows at B=256 and would OOM at
+    # exactly the beyond-HBM sizes this tier exists for
+    screen_chunk: int = 0
 
     @property
     def device_bytes(self) -> int:
@@ -106,11 +112,21 @@ def build_sketch(
     pad_multiple: int = 1024,
     proj: Optional[np.ndarray] = None,
     chunk_rows: int = 1_048_576,
+    screen_chunk: int = -1,
 ) -> SketchStore:
     """Project + quantize the corpus (chunked — the full (N, d_sketch)
     fp32 intermediate never materializes for huge N) and upload the
     screen arrays. ``proj`` overrides the fit (pairing a prebuilt basis).
+
+    ``screen_chunk``: rows per search-time screen step (SketchStore
+    field); -1 auto-selects — 65536 once the corpus is big enough that
+    a materializing (B, N) screen would dominate HBM (>= 2^20 rows),
+    else 0 (single scan). When chunked, padding rounds up to a multiple
+    of the chunk so the scan reshape is exact (<= chunk-1 extra rows,
+    <=6.5% at the 2^20 threshold, vanishing at the scales that matter).
     """
+    import math
+
     import jax
 
     from .quantized import quantize_rows
@@ -120,7 +136,13 @@ def build_sketch(
     if proj is None:
         proj = fit_projection(vectors, d_sketch, kind=kind, seed=seed)
     d_sketch = proj.shape[1]
-    n_pad = ((n + pad_multiple - 1) // pad_multiple) * pad_multiple
+    if screen_chunk < 0:
+        screen_chunk = 65536 if n >= (1 << 20) else 0
+    granule = (
+        math.lcm(pad_multiple, screen_chunk) if screen_chunk
+        else pad_multiple
+    )
+    n_pad = ((n + granule - 1) // granule) * granule
     q8 = np.zeros((n_pad, d_sketch), dtype=np.int8)
     scale = np.ones((n_pad,), dtype=np.float32)
     for lo in range(0, n, chunk_rows):
@@ -140,6 +162,7 @@ def build_sketch(
         mask=jax.device_put(mask),
         n_real=n,
         d_sketch=d_sketch,
+        screen_chunk=screen_chunk,
     )
 
 
@@ -169,14 +192,94 @@ def _projector():
     return _project_jit
 
 
+_screen_chunked_jit = None
+
+
+def _screen_chunked():
+    """Lazily jitted chunked int8 screen (import stays device-free).
+
+    Same math as quantized.int8_search (one int8 MXU contraction per
+    chunk, identical query quantization and score epilogue) but scanned
+    over row chunks with an exact running top-m merge: the transient is
+    (B, chunk) int32+fp32 instead of (B, N) — at the beyond-HBM sizes
+    this tier advertises (100M rows), the materializing screen's
+    transients alone (~800 GB at B=256) exceed any HBM. The running
+    merge is exact: after every step the carry holds the true top-m of
+    all rows scanned so far (concat + top_k is a monotone refinement).
+    """
+    global _screen_chunked_jit
+    if _screen_chunked_jit is None:
+        import jax
+        import jax.numpy as jnp
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("m", "chunk"))
+        def screen(z, q8, scale, w, mask, m: int, chunk: int):
+            b = z.shape[0]
+            n_pad = q8.shape[0]
+            nc = n_pad // chunk
+            q_absmax = jnp.max(jnp.abs(z), axis=1)
+            q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
+            q_i8 = jnp.clip(
+                jnp.round(z / q_scale[:, None]), -127, 127
+            ).astype(jnp.int8)
+            q8c = q8.reshape(nc, chunk, -1)
+            swc = (scale * w).reshape(nc, chunk)
+            mc = mask.reshape(nc, chunk)
+            base = jnp.arange(nc, dtype=jnp.int32) * chunk
+            kc = min(m, chunk)
+
+            def step(carry, xs):
+                cv, ci = carry
+                q8_c, sw_c, m_c, b0 = xs
+                acc = jax.lax.dot_general(
+                    q_i8, q8_c,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )  # (B, chunk) int32
+                s = (
+                    acc.astype(jnp.float32)
+                    * q_scale[:, None]
+                    * sw_c[None, :]
+                    + m_c[None, :]
+                )
+                v, i = jax.lax.top_k(s, kc)
+                i = i.astype(jnp.int32) + b0
+                nv, sel = jax.lax.top_k(
+                    jnp.concatenate([cv, v], axis=1), m
+                )
+                ni = jnp.take_along_axis(
+                    jnp.concatenate([ci, i], axis=1), sel, axis=1
+                )
+                return (nv, ni), None
+
+            init = (
+                jnp.full((b, m), -jnp.inf, jnp.float32),
+                jnp.zeros((b, m), jnp.int32),
+            )
+            (vals, idx), _ = jax.lax.scan(step, init, (q8c, swc, mc, base))
+            return vals, idx
+
+        _screen_chunked_jit = screen
+    return _screen_chunked_jit
+
+
 def sketch_screen(store: SketchStore, queries, m: int):
     """Device screen: project the (B, D) fp32 queries onto the sketch
     basis and int8-scan for the top-m candidate indices (B, m).
-    Accepts host or device query arrays; returns a device array."""
+    Accepts host or device query arrays; returns a device array.
+    screen_chunk > 0 routes to the chunked scan (the materializing
+    (B, N) screen cannot exist at beyond-HBM corpus sizes)."""
     from .quantized import int8_search
 
     m = min(m, store.n_real)
     z = _projector()(queries, store.proj_dev)
+    if store.screen_chunk:
+        _, idx = _screen_chunked()(
+            z, store.sketch_q, store.sketch_scale, store.weights,
+            store.mask, m=m, chunk=int(store.screen_chunk),
+        )
+        return idx
     _, idx = int8_search(
         z, store.sketch_q, store.sketch_scale, store.weights, store.mask,
         k=m,

@@ -53,6 +53,27 @@ class TestServedChunkstream:
             assert store._chunkstore.scan_dtype == scan
             assert store._chunkstore.resid_max > 0.0
 
+    @pytest.mark.parametrize(
+        "scan,dtype",
+        [("pallas", "fp32"), ("pallas_bf16", "bf16"),
+         ("pallas_int8", "int8")],
+    )
+    def test_pallas_engine_knobs_build_reduced_stores(self, scan, dtype):
+        """pallas_bf16/pallas_int8 serve the streaming kernel over a
+        reduced store (the config-6-measured fastest modes used to be
+        unreachable from the knob: bf16/int8 forced the XLA engine).
+        Off-TPU the engine falls back to XLA but the store dtype —
+        and the exactness contract — must hold."""
+        store, vecs = _make_store(chunkstream_scan=scan)
+        q = vecs[10:14] + 0.01
+        exact = store.search(q, top_k=5, method="exact")
+        cs = store.search(q, top_k=5, method="chunkstream")
+        for a, b in zip(exact, cs):
+            assert [h.id for h in a] == [h.id for h in b]
+        assert store._chunkstore.scan_dtype == dtype
+        if dtype != "fp32":
+            assert store._chunkstore.resid_max > 0.0
+
     def test_int8_residency_rejected(self):
         store, vecs = _make_store(device_dtype="int8")
         with pytest.raises(ValueError, match="fp32 device residency"):

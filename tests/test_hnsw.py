@@ -77,6 +77,52 @@ class TestHNSW:
         idx, _ = built
         assert idx.memory_bytes() > 3000 * 64 * 4  # at least the vectors
 
+    def test_corrupt_file_fails_cleanly(self, built, tmp_path):
+        """A corrupted index with a valid magic must raise IOError from
+        the Python layer — not resize(-1) into a bad_alloc that
+        std::terminates across the extern \"C\" boundary, and never
+        load out-of-range neighbor ids that a later search would chase
+        past the vector table."""
+        idx, _ = built
+        p = str(tmp_path / "g.hnsw")
+        idx.save(p)
+        blob = bytearray(open(p, "rb").read())
+        # 1) negative n in the header
+        bad = bytearray(blob)
+        bad[16:20] = (-1).to_bytes(4, "little", signed=True)
+        (tmp_path / "bad1.hnsw").write_bytes(bad)
+        with pytest.raises(IOError):
+            HNSWIndex.load(str(tmp_path / "bad1.hnsw"))
+        # 1b) huge positive n: must be rejected by the file-size check
+        # BEFORE the multi-GB resize throws bad_alloc (found by driving
+        # the load with n=2^31-1 — the process std::terminated)
+        bad = bytearray(blob)
+        bad[16:20] = (2**31 - 1).to_bytes(4, "little")
+        (tmp_path / "bad1b.hnsw").write_bytes(bad)
+        with pytest.raises(IOError):
+            HNSWIndex.load(str(tmp_path / "bad1b.hnsw"))
+        # 2) truncated mid-neighbor-lists
+        (tmp_path / "bad2.hnsw").write_bytes(blob[: len(blob) // 2])
+        with pytest.raises(IOError):
+            HNSWIndex.load(str(tmp_path / "bad2.hnsw"))
+        # 3) garbage tail after the vectors: level/neighbor counts and
+        # ids come from noise — every load outcome must be clean
+        bad = bytearray(blob)
+        rng = np.random.default_rng(0)
+        tail_at = len(bad) - len(bad) // 4
+        bad[tail_at:] = rng.integers(
+            0, 256, len(bad) - tail_at, dtype=np.uint8
+        ).tobytes()
+        (tmp_path / "bad3.hnsw").write_bytes(bad)
+        try:
+            idx3 = HNSWIndex.load(str(tmp_path / "bad3.hnsw"))
+            # if the noise happened to parse, searching must stay in
+            # bounds (ids were range-checked at load)
+            _, ids = idx3.search(np.zeros((1, idx3.dim), np.float32), 5, 16)
+            assert ids.max() < len(idx3)
+        except IOError:
+            pass
+
     def test_empty_index_search(self):
         idx = HNSWIndex(dim=16, M=8, ef_construction=50)
         ips, ids = idx.search(np.zeros((1, 16), np.float32), 5)

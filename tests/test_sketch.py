@@ -135,6 +135,76 @@ def _store(n=2048, d=128, seed=3, **cfg):
     return store, v, q
 
 
+class TestChunkedScreen:
+    """screen_chunk > 0 scans the sketch in row chunks with an exact
+    running top-m merge — the transient is (B, chunk), not (B, N),
+    which is the difference between screening 100M rows and OOMing.
+    The merged selection must equal the materializing screen's."""
+
+    def _stores(self, n=4096, d=96, d_sketch=32):
+        v = clustered(n, d, seed=5)[0]
+        w = np.random.default_rng(5).choice(
+            [0.8, 1.0, 1.2], n).astype(np.float32)
+        from rag_icd10_tpu.ops.sketch import build_sketch
+
+        flat = build_sketch(v, w, d_sketch=d_sketch, kind="random",
+                            pad_multiple=128, screen_chunk=0)
+        chunked = build_sketch(v, w, d_sketch=d_sketch, kind="random",
+                               pad_multiple=128, screen_chunk=512,
+                               proj=flat.proj)
+        return v, w, flat, chunked
+
+    def test_matches_materializing_screen(self):
+        from rag_icd10_tpu.ops.sketch import sketch_screen
+
+        v, w, flat, chunked = self._stores()
+        assert chunked.screen_chunk == 512
+        assert chunked.sketch_q.shape[0] % 512 == 0
+        q = v[np.random.default_rng(6).integers(0, len(v), 8)] + 0.01
+        m = 64
+        a = np.sort(np.asarray(sketch_screen(flat, q, m)), axis=1)
+        b = np.sort(np.asarray(sketch_screen(chunked, q, m)), axis=1)
+        # identical math → identical candidate SET (ties can reorder
+        # within equal scores; sorting by id makes the comparison
+        # order-free). Allow a tiny tie-induced set difference.
+        overlap = np.mean([
+            len(set(ra) & set(rb)) / m for ra, rb in zip(a, b)
+        ])
+        assert overlap >= 0.98, overlap
+
+    def test_rerank_end_to_end_matches(self):
+        from rag_icd10_tpu.ops.sketch import sketch_search_host_rerank
+
+        v, w, flat, chunked = self._stores()
+        q = v[np.random.default_rng(7).integers(0, len(v), 6)] + 0.01
+        va, ia = sketch_search_host_rerank(flat, v, w, q, k=10, m=80)
+        vb, ib = sketch_search_host_rerank(chunked, v, w, q, k=10, m=80)
+        np.testing.assert_array_equal(ia, ib)
+        np.testing.assert_allclose(va, vb, rtol=1e-6)
+
+    def test_auto_threshold(self):
+        from rag_icd10_tpu.ops.sketch import build_sketch
+
+        v = clustered(512, 32, seed=8)[0]
+        w = np.ones(512, np.float32)
+        small = build_sketch(v, w, d_sketch=16, kind="random",
+                             pad_multiple=128)
+        assert small.screen_chunk == 0  # materializing below 2^20 rows
+
+    def test_m_larger_than_chunk(self):
+        from rag_icd10_tpu.ops.sketch import sketch_screen
+
+        v, w, flat, chunked = self._stores()
+        q = v[:4] + 0.01
+        m = 1024  # > chunk of 512: per-step top-k clamps, merge covers
+        a = np.asarray(sketch_screen(flat, q, m))
+        b = np.asarray(sketch_screen(chunked, q, m))
+        overlap = np.mean([
+            len(set(ra) & set(rb)) / m for ra, rb in zip(a, b)
+        ])
+        assert overlap >= 0.98, overlap
+
+
 class TestHostResidency:
     def test_serves_and_matches_exact_selection(self):
         store, v, q = _store(device_dtype="host", sketch_dim=64)
