@@ -737,17 +737,26 @@ def _host_tier_bench(n: int, d: int, b: int, k: int,
 
     qd = jax.device_put(q)
 
-    @partial(jax.jit, static_argnames=("iters",))
-    def chained_screen(qq, p, sq, sc, wts, mk, iters=20):
+    @partial(jax.jit, static_argnames=("iters", "chunk"))
+    def chained_screen(qq, p, sq, sc, wts, mk, iters=20, chunk=0):
         # device-only screen time: chain iterations so the tunnel RTT
-        # amortizes (bench.py protocol)
+        # amortizes (bench.py protocol). chunk mirrors the store's
+        # served screen path: 0 = materializing int8 scan, >0 = the
+        # chunked running-top-m screen (auto at >= 2^20 rows — what
+        # sketch_search_host_rerank actually runs at this config's size)
+        from rag_icd10_tpu.ops.sketch import _screen_chunked
+
         def body(carry, _):
             z = jnp.dot(
                 qq + carry[:, :1] * 1e-6, p,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            vals, _ = int8_search(z, sq, sc, wts, mk, k=k)
+            if chunk:
+                vals, _ = _screen_chunked()(z, sq, sc, wts, mk,
+                                            m=k, chunk=chunk)
+            else:
+                vals, _ = int8_search(z, sq, sc, wts, mk, k=k)
             return vals, ()
         out, _ = jax.lax.scan(
             body, jnp.zeros((qq.shape[0], k), jnp.float32),
@@ -766,13 +775,14 @@ def _host_tier_bench(n: int, d: int, b: int, k: int,
 
         args9 = (qd, store.proj_dev, store.sketch_q, store.sketch_scale,
                  store.weights, store.mask)
-        np.asarray(chained_screen(*args9))  # compile
+        np.asarray(chained_screen(*args9, chunk=store.screen_chunk))
         t0 = time.time()
-        np.asarray(chained_screen(*args9))
+        np.asarray(chained_screen(*args9, chunk=store.screen_chunk))
         screen_ms = (time.time() - t0) / 20 * 1000
 
         entry: Dict = {
             "device_sketch_gb": round(sketch_gb, 2),
+            "screen_chunk": int(store.screen_chunk),
             "screen_ms_device_chained": round(screen_ms, 2),
             "screen_sketch_gb_per_s": round(
                 sketch_gb / (screen_ms / 1e3), 1
