@@ -319,7 +319,18 @@ def main() -> int:
         hit = np.mean([top1[r] in idx[r] for r in range(len(qlr))])
         assert hit >= 0.9, f"sketch screen top-1 hit rate {hit}"
 
-    check("sketch_screen(+host_rerank)", _sketch)
+        # chunked screen (auto at >= 2^20 rows — config 9's actual
+        # served path): same selection as the materializing screen,
+        # forced here at a chip-compilable size
+        store_c = build_sketch(vlr, w, d_sketch=64, pad_multiple=2048,
+                               screen_chunk=2048, proj=store_s.proj)
+        vals_c, idx_c = sketch_search_host_rerank(
+            store_c, vlr, w, qlr, k=k, m=256
+        )
+        np.testing.assert_array_equal(idx_c, idx)
+        np.testing.assert_allclose(vals_c, vals, rtol=1e-5)
+
+    check("sketch_screen(+host_rerank,+chunked)", _sketch)
 
     ok = not failures
     summary = {
