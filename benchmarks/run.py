@@ -831,13 +831,17 @@ CONFIGS = {
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--config", type=int, default=0, help="0 = all")
+    parser.add_argument(
+        "--config", default="0",
+        help="config number, comma-separated list (e.g. 7,8,1), or 0 = all",
+    )
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
     cfg, corpus, vectors, weights = _setup()
     results = {}
-    todo = [args.config] if args.config else list(CONFIGS)
+    nums = [int(x) for x in str(args.config).split(",") if x.strip()]
+    todo = list(CONFIGS) if nums == [0] else nums
     for num in todo:
         name, fn = CONFIGS[num]
         t0 = time.time()
