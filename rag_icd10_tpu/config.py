@@ -371,10 +371,16 @@ class APIConfig:
     )
     # host-stage pipelining depth: how many coalesced batches may be in
     # flight at once (2 = batch n's host rescoring overlaps batch n+1's
-    # device work; 1 = strictly serial monolithic path — the A/B control
-    # for SERVING_r04.json)
+    # device work; 1 = strictly serial monolithic path). Default is
+    # core-count-adaptive: the SERVING_r04.json A/B measured depth 2 at
+    # 36-42 QPS vs depth 1's 81 QPS @64 clients on a 1-core host — with
+    # no spare core the host stages cannot overlap the device stage, so
+    # extra depth only adds queueing (p95 12.5 s vs 0.9 s). Set
+    # PIPELINE_DEPTH explicitly to override.
     pipeline_depth: int = field(
-        default_factory=lambda: _env_int("PIPELINE_DEPTH", 2)
+        default_factory=lambda: _env_int(
+            "PIPELINE_DEPTH", 2 if (os.cpu_count() or 1) > 1 else 1
+        )
     )
     # Extra per-request search methods to pre-compile at startup
     # (comma-separated: "streaming", "chunkstream", "hnsw", "approx",
