@@ -129,11 +129,17 @@ def main() -> None:
         ]
     )
 
-    # timed run
-    t0 = time.time()
-    out = chained(qd, cd, wd, md)
-    np.asarray(out[0])
-    device_time = time.time() - t0
+    # timed run: median of 3 reps — the r4 driver capture recorded a
+    # transient post-outage tunnel state as a 27% "regression"
+    # (BENCH_r04 1.214 ms vs r03 0.883; the very next session measured
+    # 0.875 again). One rep is 100 chained scans, so reps are cheap.
+    device_reps = []
+    for _ in range(3):
+        t0 = time.time()
+        out = chained(qd, cd, wd, md)
+        np.asarray(out[0])
+        device_reps.append(time.time() - t0)
+    device_time = float(np.median(device_reps))
     per_scan_ms = device_time / ITERS * 1000
     qps = B * ITERS / device_time
     p50_ms = per_scan_ms  # one batch per scan; per-batch latency
@@ -185,6 +191,7 @@ def main() -> None:
             "batch": B,
             "per_batch_ms": round(per_scan_ms, 3),
             "p50_batch_latency_ms": round(p50_ms, 3),
+            "device_reps_ms": [round(r / ITERS * 1000, 3) for r in device_reps],
             "recall_at_10_vs_exact": round(float(recall), 4),
             "certified_fraction": round(certified, 4),
             "cpu_baseline_qps": round(cpu_qps, 1),

@@ -838,10 +838,22 @@ def main() -> None:
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
+    try:
+        nums = [int(x) for x in str(args.config).split(",") if x.strip()]
+    except ValueError:
+        parser.error(f"--config {args.config!r}: not a number list")
+    if not nums:
+        parser.error("--config resolved to an empty list")
+    # 0 anywhere means "all"; anything else must name a real config
+    todo = list(CONFIGS) if 0 in nums else nums
+    unknown = [n for n in todo if n not in CONFIGS]
+    if unknown:
+        parser.error(
+            f"unknown config(s) {unknown}; valid: {sorted(CONFIGS)} or 0=all"
+        )
+
     cfg, corpus, vectors, weights = _setup()
     results = {}
-    nums = [int(x) for x in str(args.config).split(",") if x.strip()]
-    todo = list(CONFIGS) if nums == [0] else nums
     for num in todo:
         name, fn = CONFIGS[num]
         t0 = time.time()

@@ -52,6 +52,19 @@ def _env_float(name: str, default: float) -> float:
     return float(raw) if raw not in (None, "") else default
 
 
+def _effective_cpu_count() -> int:
+    """Cores this process may actually run on.
+
+    os.cpu_count() reports visible hardware cores and ignores cgroup /
+    affinity limits, so a container pinned to 1 core on a big machine
+    would default PIPELINE_DEPTH=2 — the exact configuration
+    SERVING_r04.json measured as a 2x QPS loss with a 12.5 s p95."""
+    try:
+        return len(os.sched_getaffinity(0)) or 1
+    except (AttributeError, OSError):  # non-Linux
+        return os.cpu_count() or 1
+
+
 # Default corpus location: a user-supplied CSV with columns code,disease.
 # (The reference ships data/ICD_10v601.csv, 40,474 valid records.)
 _DEFAULT_DATA_CANDIDATES = (
@@ -375,11 +388,11 @@ class APIConfig:
     # core-count-adaptive: the SERVING_r04.json A/B measured depth 2 at
     # 36-42 QPS vs depth 1's 81 QPS @64 clients on a 1-core host — with
     # no spare core the host stages cannot overlap the device stage, so
-    # extra depth only adds queueing (p95 12.5 s vs 0.9 s). Set
+    # extra depth only adds queueing (p95 12.5 s vs 1.9 s). Set
     # PIPELINE_DEPTH explicitly to override.
     pipeline_depth: int = field(
         default_factory=lambda: _env_int(
-            "PIPELINE_DEPTH", 2 if (os.cpu_count() or 1) > 1 else 1
+            "PIPELINE_DEPTH", 2 if _effective_cpu_count() > 1 else 1
         )
     )
     # Extra per-request search methods to pre-compile at startup

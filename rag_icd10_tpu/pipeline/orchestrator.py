@@ -499,13 +499,11 @@ class MultiDiagnosisService:
             # pool (the loser would leak live threads)
             if self._rescore_executor is not False:
                 return self._rescore_executor
-            import os
-
-            from ..config import get_config
+            from ..config import _effective_cpu_count, get_config
 
             workers = get_config().pipeline.rescore_workers
             if workers == 0:
-                workers = min(8, max((os.cpu_count() or 1) - 1, 0))
+                workers = min(8, max(_effective_cpu_count() - 1, 0))
             if workers <= 1:
                 self._rescore_executor = None
             else:
