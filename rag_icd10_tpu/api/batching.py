@@ -26,17 +26,21 @@ one matcher call per group (almost always a single default group).
 
 Pipelining: when the matcher exposes the three-stage split
 (extract_stage / device_stage / rescore_stage,
-pipeline/orchestrator.py), up to two batches are in flight at once —
-batch n+1's host extraction overlaps batch n's device wait, and batch
-n's host rescoring overlaps batch n+1's device work. The HEAVY device
-programs (encoder forward + fused search) still run on the single
-device thread (jit-cache friendly, strictly serialized); only the host
-stages move to a separate 2-thread pool, so steady-state throughput
-approaches max(device, host) per batch instead of their sum. Two
-documented exceptions issue device work from the host pool concurrently
-with the in-flight batch's scan: enhanced extraction's small
-boundary-embedding encode (pipeline/enhanced.py), and the rescore
-stage's semantic-coherence gather (pipeline/confidence.py
+pipeline/orchestrator.py), up to two batches are in flight at once.
+The device stage is DISPATCH-ONLY (store.search_dispatch returns a
+PendingSearch; every blocking fetch — embeddings download, top-k
+arrays, certificate redo, hit building — happens in rescore_stage's
+finalize step on the host pool). So the single device thread never
+blocks on results: batch n+1's encoder forward + search are dispatched
+into the device queue while batch n is still executing/downloading —
+true device-side overlap of encode(n+1) with search(n), even on a
+1-core host (the finalize wait releases the GIL inside np.asarray, so
+the core is free for another batch's extract/rescore). Steady-state
+throughput approaches max(device, host) per batch instead of their
+sum. Two documented exceptions issue device work from the host pool
+concurrently with the in-flight batch's scan: enhanced extraction's
+small boundary-embedding encode (pipeline/enhanced.py), and the
+rescore stage's semantic-coherence gather (pipeline/confidence.py
 _semantic_coherence -> store.semantic_similarities / encoder per
 candidate). JAX dispatch is thread-safe and XLA serializes on-device,
 so both cost at most device-queue contention (per-candidate for the

@@ -98,6 +98,30 @@ class SearchHit:
         }
 
 
+class PendingSearch:
+    """A dispatched-but-unmaterialized search.
+
+    ``search_dispatch`` returns one of these after issuing the device
+    work WITHOUT blocking on any result; ``finalize()`` blocks (fetches
+    the arrays through the tunnel, applies the certificate-redo policy,
+    builds SearchHit rows). Splitting the two lets the serving layer
+    dispatch batch n+1's encode+search while batch n's results are
+    still downloading — on-device overlap without a second chip
+    (api/batching.py has the pipeline story)."""
+
+    __slots__ = ("_finalize", "_hits")
+
+    def __init__(self, finalize=None, hits=None):
+        self._finalize = finalize
+        self._hits = hits
+
+    def finalize(self) -> List[List["SearchHit"]]:
+        if self._hits is None:
+            self._hits = self._finalize()
+            self._finalize = None  # free captured device arrays
+        return self._hits
+
+
 class VectorStore:
     """Batched TPU flat-scan vector store over an ICD corpus."""
 
@@ -419,9 +443,27 @@ class VectorStore:
         method: Optional[str] = None,
         ef_search: Optional[int] = None,
     ) -> List[List[SearchHit]]:
+        """Batched blocking search — dispatch + finalize in one call."""
+        return self.search_dispatch(
+            query_vectors, top_k, method=method, ef_search=ef_search
+        ).finalize()
+
+    def search_dispatch(
+        self,
+        query_vectors: np.ndarray,
+        top_k: int = 5,
+        method: Optional[str] = None,
+        ef_search: Optional[int] = None,
+    ) -> PendingSearch:
         """Batched search: (B, D) query vectors -> per-query top_k hits,
         level-weighted and sorted desc (reference: milvus_service.py:271-316,
         which handles one query; here B queries cost one device call).
+
+        Returns a PendingSearch: the device paths dispatch their programs
+        and defer every blocking fetch (result download, certificate
+        check + exact redo, hit construction) to ``finalize()``; the
+        host-side paths (HNSW, sketch re-rank, int8 host re-rank, empty
+        store) compute eagerly and finalize() just hands the rows back.
 
         ``method`` ("exact"/"approx"/"fast"/"streaming"/"chunkstream"/
         "sketch"/"hnsw") and ``ef_search`` (HNSW beam
@@ -454,15 +496,17 @@ class VectorStore:
         else:
             q = np.atleast_2d(np.asarray(query_vectors, dtype=np.float32))
         if self.num_entities == 0:
-            return [[] for _ in range(q.shape[0])]
+            return PendingSearch(hits=[[] for _ in range(q.shape[0])])
         k_eff = min(max(top_k, 1), self.num_entities)
         if self.config.index_type.upper() == "HNSW" or method == "hnsw":
             # graph path runs host-side; no device residency required
             q = np.asarray(q, dtype=np.float32)
-            return self._search_hnsw(q, k_eff, ef_search=ef_search)
+            return PendingSearch(
+                hits=self._search_hnsw(q, k_eff, ef_search=ef_search)
+            )
         if not self._loaded:
             if not self.load_collection():
-                return [[] for _ in range(q.shape[0])]
+                return PendingSearch(hits=[[] for _ in range(q.shape[0])])
         b = q.shape[0]
         k_pad = _bucket_k(k_eff)
         b_pad = _next_pow2(b)
@@ -476,6 +520,7 @@ class VectorStore:
             q = np.asarray(q, dtype=np.float32)
             q_pad = np.zeros((b_pad, self.dim), dtype=np.float32)
             q_pad[:b] = q
+        cert = None  # set by the certified paths; checked in finalize()
         if self._sharded is not None:
             # per-request method knob is honored per shard (hnsw was
             # dispatched to the host graph path above; an unsupported
@@ -507,7 +552,7 @@ class VectorStore:
                 m=m,
             )
             self._searches += b
-            return self.build_hits(vals[:b], idx[:b])
+            return PendingSearch(hits=self.build_hits(vals[:b], idx[:b]))
         elif self._dev is not None and "corpus_q" in self._dev:
             if method == "chunkstream":
                 raise ValueError(
@@ -564,7 +609,7 @@ class VectorStore:
                 vals = np.take_along_axis(exact, order, axis=1)
                 idx = np.take_along_axis(idx_q, order, axis=1)
                 self._searches += b
-                return self.build_hits(vals, idx)
+                return PendingSearch(hits=self.build_hits(vals, idx))
         elif method == "chunkstream":
             # streaming chunk-select v2 (ops/chunk_stream.py): pass-1
             # chunk-max scan in the configured dtype (CHUNKSTREAM_SCAN),
@@ -603,17 +648,6 @@ class VectorStore:
             vals, idx, cert = chunk_stream.search(
                 cs, q_pad, k=k_pad, scan=engine, interpret=interpret
             )
-            if not bool(np.asarray(cert).all()):
-                if _use_pallas():
-                    vals, idx = fused_search(
-                        q_pad, self._dev["corpus"], self._dev["weights"],
-                        self._dev["mask"], k=k_pad, tile_n=0,
-                    )
-                else:
-                    vals, idx = flat_search_jax(
-                        q_pad, self._dev["corpus"], self._dev["weights"],
-                        self._dev["mask"], k=k_pad,
-                    )
         elif (
             method in ("fast", "chunk")
             and self._dev is not None
@@ -638,17 +672,6 @@ class VectorStore:
                 guarantee=False,
                 bound_scale=self._bound_scale,
             )
-            if not bool(np.asarray(cert).all()):
-                if _use_pallas():
-                    vals, idx = fused_search(
-                        q_pad, self._dev["corpus"], self._dev["weights"],
-                        self._dev["mask"], k=k_pad, tile_n=0,
-                    )
-                else:
-                    vals, idx = flat_search_jax(
-                        q_pad, self._dev["corpus"], self._dev["weights"],
-                        self._dev["mask"], k=k_pad,
-                    )
         elif _use_pallas():
             vals, idx = fused_search(
                 q_pad,
@@ -668,10 +691,28 @@ class VectorStore:
                 k=k_pad,
                 method=method,
             )
-        vals = np.asarray(vals)[:b, :k_eff]
-        idx = np.asarray(idx)[:b, :k_eff]
-        self._searches += b
-        return self.build_hits(vals, idx)
+        def _finalize():
+            v, i = vals, idx
+            if cert is not None and not bool(np.asarray(cert).all()):
+                # near-ties at the candidate boundary: redo the whole
+                # batch on the exact path (the certified kernels'
+                # host-mediated exactness contract)
+                if _use_pallas():
+                    v, i = fused_search(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad, tile_n=0,
+                    )
+                else:
+                    v, i = flat_search_jax(
+                        q_pad, self._dev["corpus"], self._dev["weights"],
+                        self._dev["mask"], k=k_pad,
+                    )
+            v = np.asarray(v)[:b, :k_eff]
+            i = np.asarray(i)[:b, :k_eff]
+            self._searches += b
+            return self.build_hits(v, i)
+
+        return PendingSearch(finalize=_finalize)
 
     def build_hits(
         self, vals: np.ndarray, idx: np.ndarray

@@ -361,17 +361,30 @@ class MultiDiagnosisService:
                         query_vecs = np.asarray(
                             self.encoder.encode_queries(encode_texts)
                         )
-                with metrics.timer("search"):
-                    q_in = query_dev if device_chain else query_vecs
-                    if (
-                        search_method is None and ef_search is None
-                    ) or not _store_knob_aware(self.store):
-                        all_hits = self.store.search(q_in, k_fetch)
-                    else:
-                        all_hits = self.store.search(
-                            q_in, k_fetch,
-                            method=search_method, ef_search=ef_search,
+                knob_kwargs = (
+                    {}
+                    if (search_method is None and ef_search is None)
+                    or not _store_knob_aware(self.store)
+                    else {"method": search_method, "ef_search": ef_search}
+                )
+                dispatch = getattr(self.store, "search_dispatch", None)
+                q_in = query_dev if device_chain else query_vecs
+                if dispatch is not None:
+                    # non-blocking: issue the device program and return —
+                    # every result fetch (embeddings download, top-k
+                    # arrays, certificate redo, hit building) moves into
+                    # rescore_stage's finalize step, so the device/dispatch
+                    # thread is free to feed batch n+1 while batch n
+                    # executes and downloads (api/batching.py overlap)
+                    with metrics.timer("search"):
+                        state["pending_search"] = dispatch(
+                            q_in, k_fetch, **knob_kwargs
                         )
+                    state["query_pending"] = q_in
+                    state["encode_texts"] = encode_texts
+                    return state
+                with metrics.timer("search"):
+                    all_hits = self.store.search(q_in, k_fetch, **knob_kwargs)
                     if device_chain:
                         query_vecs = np.asarray(query_dev)
         else:
@@ -381,6 +394,26 @@ class MultiDiagnosisService:
         state["query_vecs"] = query_vecs
         state["all_hits"] = all_hits
         return state
+
+    def _finalize_device_stage(self, state: Dict[str, Any]) -> None:
+        """Materialize a deferred device stage (PendingSearch): block on
+        the downloads, apply exact-title injection, and populate the
+        query_vecs/all_hits the rescore stage consumes. No-op when the
+        device stage ran eagerly (mock stores, fused engine, empty
+        batch)."""
+        pending = state.pop("pending_search", None)
+        if pending is None:
+            return
+        from ..utils.metrics import metrics
+
+        with metrics.timer("finalize"):
+            query_vecs = np.asarray(state.pop("query_pending"))
+            all_hits = pending.finalize()
+            self._inject_exact_title_rows(
+                state["encode_texts"], query_vecs, all_hits
+            )
+        state["query_vecs"] = query_vecs
+        state["all_hits"] = all_hits
 
     def _inject_exact_title_rows(
         self,
@@ -414,6 +447,7 @@ class MultiDiagnosisService:
         the RESCORE_WORKERS thread pool when the host has cores for it."""
         from ..utils.metrics import metrics
 
+        self._finalize_device_stage(state)
         per_text = state["per_text"]
         query_vecs = state["query_vecs"]
         all_hits = state["all_hits"]

@@ -121,6 +121,32 @@ class TestMatchMultiple:
                 [c.code for c in m.candidates] for m in a["matches"]
             ] == [[c.code for c in m.candidates] for m in b["matches"]]
 
+    def test_device_stage_is_dispatch_only(self, service):
+        """With a dispatch-capable store, device_stage must defer every
+        blocking fetch: it returns with a PendingSearch in the state and
+        NO materialized hits; rescore_stage's finalize step fills them in
+        (api/batching.py overlaps batches on exactly this contract)."""
+        state = service.extract_stage(["急性胃肠炎，高血压病3级"])
+        service.device_stage(state, top_k=3)
+        assert "pending_search" in state
+        assert "all_hits" not in state
+        results = service.rescore_stage(state, top_k=3)
+        assert "pending_search" not in state  # consumed by finalize
+        assert len(state["all_hits"]) == len(state["flat_diagnoses"])
+        assert results[0]["matches"]
+
+    def test_search_dispatch_equals_search(self, service):
+        """store.search_dispatch(...).finalize() must equal store.search."""
+        q = service.encoder.encode_queries(["急性胃肠炎", "肺炎"])
+        eager = service.store.search(q, 3)
+        deferred = service.store.search_dispatch(q, 3).finalize()
+        assert [[h.code for h in row] for row in eager] == [
+            [h.code for h in row] for row in deferred
+        ]
+        assert [[h.score for h in row] for row in eager] == [
+            [h.score for h in row] for row in deferred
+        ]
+
     def test_result_contract(self, service):
         result = service.match_multiple_diagnoses("急性胃肠炎，高血压病3级", top_k=3)
         assert set(result) == {
