@@ -30,6 +30,10 @@ from .entity_filter import DiagnosisEntityFilter
 
 # Model label -> standard entity type (reference :43-59)
 ENTITY_TYPE_MAPPING = {
+    # the offline-distilled head (tools/train_ner.py LABELS) uses the
+    # short "Disease" name; without this row every distilled disease
+    # span mapped to "other" and model mode could only LOSE to rules
+    "Disease": "disease",
     "DiseaseNameOrComprehensiveCertificate": "disease",
     "Symptom": "symptom",
     "BodyParts": "anatomy",
