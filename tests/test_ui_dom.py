@@ -87,6 +87,35 @@ class TestDomScriptBinding:
         for f in ("code", "title", "score", "level", "parent_code"):
             assert f in c, f
 
+    def test_factor_breakdown_keys_match_fixture(self):
+        """The per-candidate similarity-factor breakdown and the 12-dim
+        detailed confidence report render exactly the keys the API
+        returns (golden fixtures pin the API side)."""
+        fx = fixture("query_multi")
+        m = fx["diagnosis_matches"][0]
+        sim_keys = set(
+            re.findall(r'\["(\w+)", "[^"]+", \d+\],\n', HTML.split("CONF_FACTORS")[0])
+        )
+        assert sim_keys == set(m["candidates"][0]["similarity_factors"]), (
+            "SIM_FACTORS drifted from the API's similarity_factors keys"
+        )
+        conf_keys = set(
+            re.findall(r'\["(\w+)", "[^"]+", \d+\],\n', HTML.split("CONF_FACTORS")[1])
+        )
+        assert conf_keys == set(m["confidence_factors"]), (
+            "CONF_FACTORS drifted from the API's confidence_factors keys"
+        )
+        for metric in ("overall_confidence", "confidence_interval",
+                       "reliability_score", "prediction_variance",
+                       "calibration_score"):
+            assert metric in m["confidence_metrics"], metric
+            assert metric in HTML, f"report view never renders {metric}"
+        assert "详细置信度报告" in HTML
+        # factor weights rendered = the reference's contracts (.50/.20/...
+        # hierarchical_similarity_service.py:76-83; .20/.15/... :97-117)
+        assert '["vector_similarity", "向量相似度", 50]' in HTML
+        assert '["vector_similarity", "向量相似度", 20]' in HTML
+
     def test_standardize_fields_exist_in_fixture(self):
         fx = fixture("standardize_multi")
         r = fx["results"][0]
