@@ -78,7 +78,18 @@ def main() -> None:
 
     cp, wp, mask = pad_corpus(vectors, weights, multiple=1024)
     on_tpu = jax.default_backend() == "tpu"
-    cd = jax.device_put(cp)
+    # scan precision A/B knob: "high" (bf16x3 XLA dot, the r2-r4
+    # headline) vs "bf16" (single-MXU-pass Pallas scan over a
+    # bf16-resident corpus + fp32 HIGHEST re-rank of the top-m — result
+    # set exact whenever certified) vs "highest" (fp32 Pallas).
+    scan_prec = os.environ.get("BENCH_SCAN_PRECISION", "high")
+    assert scan_prec in ("highest", "high", "bf16"), scan_prec
+    if scan_prec == "bf16":
+        cd = jax.device_put(cp.astype(jnp.bfloat16))
+        cf = jax.device_put(cp)  # fp32 rows for the re-rank gather
+    else:
+        cd = jax.device_put(cp)
+        cf = None
     wd, md = jax.device_put(wp), jax.device_put(mask)
     qd = jax.device_put(queries)
 
@@ -100,13 +111,13 @@ def main() -> None:
     )
 
     @partial(jax.jit, static_argnames=("iters",))
-    def chained(q, corpus, w, m, iters=ITERS):
+    def chained(q, corpus, w, m, cf32, iters=ITERS):
         def body(carry, _):
             qq = q + carry[:, :1] * 1e-6  # data dependence defeats CSE
             if on_tpu:
                 vals, idx, _ = chunk_select_search(
-                    qq, corpus, w, m, k=K, scan_precision="high",
-                    bound_scale=bscale, guarantee=False,
+                    qq, corpus, w, m, k=K, scan_precision=scan_prec,
+                    corpus_f32=cf32, bound_scale=bscale, guarantee=False,
                 )
             else:
                 s = jnp.dot(qq, corpus.T, preferred_element_type=jnp.float32)
@@ -118,7 +129,7 @@ def main() -> None:
         return vals, idxs
 
     # compile + correctness check (recall@K vs numpy ground truth)
-    vals, idxs = chained(qd, cd, wd, md)
+    vals, idxs = chained(qd, cd, wd, md, cf)
     vals, idxs = np.asarray(vals), np.asarray(idxs)
     expected = (queries @ vectors.T) * weights[None, :]
     eidx = np.argpartition(-expected, K, axis=1)[:, :K]
@@ -136,7 +147,7 @@ def main() -> None:
     device_reps = []
     for _ in range(3):
         t0 = time.time()
-        out = chained(qd, cd, wd, md)
+        out = chained(qd, cd, wd, md, cf)
         np.asarray(out[0])
         device_reps.append(time.time() - t0)
     device_time = float(np.median(device_reps))
@@ -148,8 +159,8 @@ def main() -> None:
     certified = 1.0
     if on_tpu:
         _, _, cert = chunk_select_search(
-            qd, cd, wd, md, k=K, scan_precision="high", bound_scale=bscale,
-            guarantee=False,
+            qd, cd, wd, md, k=K, scan_precision=scan_prec, corpus_f32=cf,
+            bound_scale=bscale, guarantee=False,
         )
         certified = float(np.asarray(cert).mean())
 
@@ -191,6 +202,7 @@ def main() -> None:
             "batch": B,
             "per_batch_ms": round(per_scan_ms, 3),
             "p50_batch_latency_ms": round(p50_ms, 3),
+            "scan_precision": scan_prec,
             "device_reps_ms": [round(r / ITERS * 1000, 3) for r in device_reps],
             "recall_at_10_vs_exact": round(float(recall), 4),
             "certified_fraction": round(certified, 4),
