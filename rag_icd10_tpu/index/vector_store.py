@@ -24,6 +24,7 @@ TPU-first differences:
 from __future__ import annotations
 
 import json
+import threading
 import time
 from dataclasses import dataclass, field
 from pathlib import Path
@@ -153,6 +154,10 @@ class VectorStore:
         self._sketch = None  # ops/sketch screen (method="sketch" / host tier)
         self._loaded = False
         self._searches = 0
+        # finalize() runs on the serving host pool, so with depth-2
+        # pipelining two batches can bump the stats counter
+        # concurrently; += is a read-modify-write and would drop counts
+        self._searches_lock = threading.Lock()
         self._created_at = time.time()
 
     # ------------------------------------------------------------ insert
@@ -551,7 +556,8 @@ class VectorStore:
                 sk, self._vectors, weights_h, np.asarray(q_pad), k=k_eff,
                 m=m,
             )
-            self._searches += b
+            with self._searches_lock:
+                self._searches += b
             return PendingSearch(hits=self.build_hits(vals[:b], idx[:b]))
         elif self._dev is not None and "corpus_q" in self._dev:
             if method == "chunkstream":
@@ -608,7 +614,8 @@ class VectorStore:
                 order = np.argsort(-exact, axis=1)[:, :k_eff]
                 vals = np.take_along_axis(exact, order, axis=1)
                 idx = np.take_along_axis(idx_q, order, axis=1)
-                self._searches += b
+                with self._searches_lock:
+                    self._searches += b
                 return PendingSearch(hits=self.build_hits(vals, idx))
         elif method == "chunkstream":
             # streaming chunk-select v2 (ops/chunk_stream.py): pass-1
@@ -709,7 +716,8 @@ class VectorStore:
                     )
             v = np.asarray(v)[:b, :k_eff]
             i = np.asarray(i)[:b, :k_eff]
-            self._searches += b
+            with self._searches_lock:
+                self._searches += b
             return self.build_hits(v, i)
 
         return PendingSearch(finalize=_finalize)
@@ -853,7 +861,8 @@ class VectorStore:
             if np.all(kth_weighted >= bound - 1e-6):
                 break
             k_fetch = min(2 * k_fetch, n)
-        self._searches += q.shape[0]
+        with self._searches_lock:
+            self._searches += q.shape[0]
         out: List[List[SearchHit]] = []
         for row_ips, row_ids in zip(ips, ids):
             hits = []
