@@ -678,9 +678,10 @@ def config9_host_tier_16m(cfg, corpus, vectors, weights) -> Dict:
     return _host_tier_bench(
         n=16_777_216, d=768, b=8, k=10,
         # m=4096 is the escape point: BASELINE.md holds approximate
-        # paths to >=0.99 recall@10, and m rows crossing the host link
-        # cost ~3 MB/query even at 4096 — still nothing vs the 51.5 GB
-        # corpus that never moves
+        # paths to >=0.99 recall@10. Only candidate indices cross the
+        # link; the host then gathers m fp32 rows (~12.6 MB at 4096)
+        # and re-ranks exactly — still nothing vs re-scanning the
+        # 51.5 GB corpus
         d_sketches=(64, 128), ms=(128, 1024, 4096), spectrum=spectrum,
     )
 
