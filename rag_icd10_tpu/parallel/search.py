@@ -32,6 +32,7 @@ class ShardedFlatSearcher:
         weights: np.ndarray,
         mesh: Mesh,
         axis: str = "dp",
+        store_dtype: str = "fp32",
     ):
         self.mesh = mesh
         self.axis = axis
@@ -51,7 +52,22 @@ class ShardedFlatSearcher:
         # materializes only its addressable shards (multihost.py)
         from .multihost import global_device_put
 
-        self.corpus = global_device_put(cp, row_sharding)
+        assert store_dtype in ("fp32", "int8"), store_dtype
+        self.store_dtype = store_dtype
+        if store_dtype == "int8":
+            # capacity tier: each shard holds int8 rows + one fp32 scale
+            # per row (ops/quantized.py law — the ONE quantization
+            # spelling every consumer shares), 4x the rows per HBM byte.
+            # Padding rows are zeros -> scale 1.0; the additive mask
+            # already excludes them.
+            from ..ops.quantized import quantize_rows
+
+            cq, cscale = quantize_rows(cp)
+            self.corpus = global_device_put(cq, row_sharding)
+            self.scales = global_device_put(cscale, vec_sharding)
+        else:
+            self.corpus = global_device_put(cp, row_sharding)
+            self.scales = None
         self.weights = global_device_put(wp, vec_sharding)
         self.mask = global_device_put(mask, vec_sharding)
         # certificate scale for the per-shard chunkstream method
@@ -225,6 +241,130 @@ class ShardedFlatSearcher:
             )
         return jax.jit(fn)
 
+    def _build_int8(self, k: int, method: str = "exact"):
+        """Per-shard search over the int8-resident corpus (capacity
+        tier: 4x the rows per HBM byte vs fp32).
+
+        Queries quantize per-row on device (ops/quantized.py int8_search
+        law); int8 x int8 contractions accumulate in int32 — EXACT
+        integer arithmetic — so the chunkstream pass-2 block re-score
+        reproduces the pass-1 scores bit-for-bit and the chunk-select
+        certificate needs NO epsilon margin (unlike the fp32/bf16
+        scans). Selection is approximate only w.r.t. the original fp32
+        rows (the inherent int8 rounding); callers that need exact
+        served scores re-rank the merged top-k against host fp32 rows,
+        exactly like the single-device int8 store path."""
+        axis = self.axis
+        n_shards = self.mesh.shape[axis]
+        shard_rows = self.n_padded // n_shards
+
+        def shard_fn(q, corpus_q, scales, weights, mask):
+            b = q.shape[0]
+            rows = corpus_q.shape[0]
+            qf = q.astype(jnp.float32)
+            q_absmax = jnp.max(jnp.abs(qf), axis=1)
+            q_scale = jnp.where(q_absmax > 0, q_absmax / 127.0, 1.0)
+            q_i8 = jnp.clip(
+                jnp.round(qf / q_scale[:, None]), -127, 127
+            ).astype(jnp.int8)
+            colw = scales * weights  # fold both per-row factors
+
+            def full_scores():
+                acc = jax.lax.dot_general(
+                    q_i8, corpus_q,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                return (
+                    acc.astype(jnp.float32)
+                    * q_scale[:, None]
+                    * colw[None, :]
+                    + mask[None, :]
+                )
+
+            if method == "chunkstream":
+                nc = rows // 128
+                mc = min(max(2 * k, k + 16), nc)
+                s = full_scores()
+                # XLA fuses this reduce into the dot epilogue; nothing
+                # (B, rows)-sized survives to HBM (same shape as the
+                # fp32 chunkstream spelling above)
+                cm = jnp.max(s.reshape(b, nc, 128), axis=2)
+                cvals, cidx = jax.lax.top_k(cm, mc)
+                corpus3 = corpus_q.reshape(nc, 128, -1)
+                cw2 = colw.reshape(nc, 128)
+                m2 = mask.reshape(nc, 128)
+
+                def rescore_slot(_, ci):
+                    blocks = jnp.take(corpus3, ci, axis=0)  # (b,128,D) i8
+                    raw = jnp.einsum(
+                        "bd,brd->br", q_i8, blocks,
+                        preferred_element_type=jnp.int32,
+                    )
+                    return None, (
+                        raw.astype(jnp.float32)
+                        * q_scale[:, None]
+                        * jnp.take(cw2, ci, axis=0)
+                        + jnp.take(m2, ci, axis=0)
+                    )
+
+                _, sc = jax.lax.scan(rescore_slot, None, cidx.T)
+                scores = jnp.transpose(sc, (1, 0, 2)).reshape(b, mc * 128)
+                vals, sel = jax.lax.top_k(scores, k)
+                cols = (
+                    cidx[:, :, None] * 128
+                    + jax.lax.broadcasted_iota(jnp.int32, (b, mc, 128), 2)
+                ).reshape(b, mc * 128)
+                idx = jnp.take_along_axis(cols, sel, axis=1).astype(
+                    jnp.int32
+                )
+                if mc >= nc:
+                    certified = jnp.ones((b,), bool)
+                else:
+                    # int32 accumulation is exact and the fp32 rescale
+                    # is the identical expression in both passes: the
+                    # bound needs no rounding margin
+                    certified = vals[:, k - 1] >= cvals[:, mc - 1]
+
+                def _keep(_):
+                    return vals, idx
+
+                def _fallback(_):
+                    v, i = jax.lax.top_k(full_scores(), k)
+                    return v, i.astype(jnp.int32)
+
+                vals, idx = jax.lax.cond(
+                    jnp.all(certified), _keep, _fallback, None
+                )
+            else:  # exact (w.r.t. the int8 score law)
+                vals, idx = jax.lax.top_k(full_scores(), k)
+                idx = idx.astype(jnp.int32)
+            shard_id = jax.lax.axis_index(axis)
+            idx = idx + shard_id * shard_rows
+            all_vals = jax.lax.all_gather(vals, axis, axis=1, tiled=True)
+            all_idx = jax.lax.all_gather(idx, axis, axis=1, tiled=True)
+            fvals, fpos = jax.lax.top_k(all_vals, k)
+            fidx = jnp.take_along_axis(all_idx, fpos, axis=1)
+            return fvals, fidx
+
+        in_specs = (P(), P(axis, None), P(axis), P(axis), P(axis))
+        out_specs = (P(), P())
+        try:
+            from jax import shard_map
+
+            fn = shard_map(
+                shard_fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_vma=False,
+            )
+        except ImportError:  # older jax spelling
+            from jax.experimental.shard_map import shard_map
+
+            fn = shard_map(
+                shard_fn, mesh=self.mesh, in_specs=in_specs,
+                out_specs=out_specs, check_rep=False,
+            )
+        return jax.jit(fn)
+
     def search(
         self, queries: np.ndarray, k: int, method: str = "auto"
     ) -> Tuple[np.ndarray, np.ndarray]:
@@ -235,6 +375,22 @@ class ShardedFlatSearcher:
         silently falling back."""
         if method in (None, ""):
             method = "auto"
+        if self.store_dtype == "int8":
+            if method == "auto":
+                method = "exact"
+            if method not in ("exact", "chunkstream"):
+                raise ValueError(
+                    f"search method {method!r} is not available on an "
+                    "int8-sharded store (supported: exact, chunkstream)"
+                )
+            key = (k, method, "int8")
+            if key not in self._fn_cache:
+                self._fn_cache[key] = self._build_int8(k, method)
+            q = jnp.asarray(np.atleast_2d(queries), dtype=jnp.float32)
+            vals, idx = self._fn_cache[key](
+                q, self.corpus, self.scales, self.weights, self.mask
+            )
+            return np.asarray(vals), np.asarray(idx)
         if method not in ("auto", "exact", "streaming", "fast", "chunk",
                           "chunkstream", "approx"):
             raise ValueError(

@@ -386,3 +386,71 @@ class TestStoreShardedBackend:
         store.insert_records(list(corpus.records()), vecs)
         store.load_collection()
         assert store._sharded is None and store._dev is not None
+
+
+class TestInt8ShardedSearch:
+    """Capacity tier x sharding (round-5 stretch): the int8-resident
+    corpus shards over the mesh and both per-shard kernels (exact /
+    chunkstream) reproduce the single-device int8 score law exactly —
+    int8 x int8 accumulates in int32 (exact integer arithmetic), so the
+    sharded merge must be bit-identical to ops/quantized.int8_search
+    over the whole corpus, not merely close."""
+
+    def _setup(self, n=2048, d=64, b=4, seed=5):
+        rng = np.random.default_rng(seed)
+        corpus = rng.standard_normal((n, d)).astype(np.float32)
+        corpus /= np.linalg.norm(corpus, axis=1, keepdims=True)
+        weights = np.array([1.2, 1.0, 0.8], dtype=np.float32)[
+            rng.integers(0, 3, size=n)
+        ]
+        q = rng.standard_normal((b, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        return corpus, weights, q
+
+    def test_matches_single_device_int8_law(self):
+        from rag_icd10_tpu.ops.quantized import int8_search, quantize_rows
+
+        corpus, weights, q = self._setup()
+        n, k = corpus.shape[0], 10
+        mesh = make_mesh(n_devices=8, dp=8, tp=1)
+        searcher = ShardedFlatSearcher(
+            corpus, weights, mesh, axis="dp", store_dtype="int8"
+        )
+        assert searcher.n_padded == n  # no padding at this size
+
+        q8, sc = quantize_rows(corpus)
+        ref_vals, ref_idx = int8_search(
+            q, q8, sc, weights, np.zeros(n, np.float32), k=k
+        )
+        ref_vals, ref_idx = np.asarray(ref_vals), np.asarray(ref_idx)
+
+        for method in ("exact", "chunkstream", "auto"):
+            vals, idx = searcher.search(q, k, method=method)
+            np.testing.assert_array_equal(vals, ref_vals, err_msg=method)
+            # indices may permute only on exact score ties
+            for row_i, row_ref in zip(idx, ref_idx):
+                assert set(row_i) == set(row_ref), method
+
+    def test_recall_vs_fp32_truth(self):
+        corpus, weights, q = self._setup(seed=6)
+        k = 10
+        mesh = make_mesh(n_devices=8, dp=8, tp=1)
+        searcher = ShardedFlatSearcher(
+            corpus, weights, mesh, axis="dp", store_dtype="int8"
+        )
+        vals, idx = searcher.search(q, k, method="chunkstream")
+        expected = (q @ corpus.T) * weights[None, :]
+        eidx = np.argsort(-expected, axis=1)[:, :k]
+        recalls = [
+            len(set(i) & set(e)) / k for i, e in zip(idx, eidx)
+        ]
+        assert np.mean(recalls) >= 0.9, recalls
+
+    def test_unsupported_method_raises(self):
+        corpus, weights, q = self._setup(n=1024)
+        mesh = make_mesh(n_devices=8, dp=8, tp=1)
+        searcher = ShardedFlatSearcher(
+            corpus, weights, mesh, axis="dp", store_dtype="int8"
+        )
+        with pytest.raises(ValueError, match="int8-sharded"):
+            searcher.search(q, 5, method="fast")
