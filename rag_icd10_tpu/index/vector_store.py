@@ -331,8 +331,14 @@ class VectorStore:
             from ..parallel.search import ShardedFlatSearcher
 
             mesh = Mesh(np.array(jax.devices()), ("shard",))
+            # the capacity tier composes with sharding: int8 residency
+            # shards 4x the rows per HBM byte (bfloat16 config falls
+            # back to fp32 shards — the searcher quantizes int8 only)
             self._sharded = ShardedFlatSearcher(
-                self._vectors, weights, mesh, axis="shard"
+                self._vectors, weights, mesh, axis="shard",
+                store_dtype=(
+                    "int8" if self.config.device_dtype == "int8" else "fp32"
+                ),
             )
             self._dev = None  # single-device residency replaced by shards
             self._loaded = True
@@ -531,9 +537,45 @@ class VectorStore:
             # dispatched to the host graph path above; an unsupported
             # method raises so the API can 400 instead of silently
             # falling back)
-            vals, idx = self._sharded.search(
-                q_pad, k=k_pad, method="auto" if method == "exact" else method
-            )
+            smethod = "auto" if method == "exact" else method
+            if getattr(self._sharded, "store_dtype", "fp32") == "int8":
+                # int8 SELECTS (approximate w.r.t. fp32 rows); the host
+                # re-ranks the merged over-fetch against fp32 rows so
+                # served scores stay exact — the same contract as the
+                # single-device int8 store path below
+                if smethod not in ("auto", "exact", "chunkstream"):
+                    if requested is None:
+                        # a configured fp32-kernel default (fast/
+                        # streaming) has no int8 spelling: serve the
+                        # materialized int8 scan instead of failing
+                        # every request; explicit overrides still 400
+                        smethod = "exact"
+                shard_rows = (
+                    self._sharded.n_padded
+                    // self._sharded.mesh.shape[self._sharded.axis]
+                )
+                m = min(_bucket_k(4 * k_eff), shard_rows, self.num_entities)
+                m = max(m, k_eff)
+                svals, sidx = self._sharded.search(q_pad, k=m, method=smethod)
+                q_h = np.asarray(q_pad[:b], np.float32)
+                sidx = np.asarray(sidx[:b])
+                valid = (sidx >= 0) & (sidx < self.num_entities)
+                safe = np.clip(sidx, 0, self.num_entities - 1)
+                weights_h = self.corpus.level_weights(
+                    self.config.level_weights
+                )
+                exact = (
+                    np.einsum("bd,bkd->bk", q_h, self._vectors[safe])
+                    * weights_h[safe]
+                )
+                exact = np.where(valid, exact, -np.inf)
+                order = np.argsort(-exact, axis=1)[:, :k_eff]
+                vals = np.take_along_axis(exact, order, axis=1)
+                idx = np.take_along_axis(safe, order, axis=1)
+                with self._searches_lock:
+                    self._searches += b
+                return PendingSearch(hits=self.build_hits(vals, idx))
+            vals, idx = self._sharded.search(q_pad, k=k_pad, method=smethod)
         elif method == "sketch" or self.config.device_dtype == "host":
             # capacity tier (ops/sketch.py): device int8 sketch screen +
             # host-row exact fp32 re-rank. Selection is approximate

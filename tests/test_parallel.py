@@ -387,6 +387,55 @@ class TestStoreShardedBackend:
         store.load_collection()
         assert store._sharded is None and store._dev is not None
 
+    def test_sharded_int8_serves_exact_scores(self):
+        """STORE_DEVICE_DTYPE=int8 + sharded: int8 shards select, the
+        host re-ranks the merged over-fetch against fp32 rows — served
+        SCORES are exact (recomputable from the fp32 matrix) even
+        though the selection is approximate."""
+        from rag_icd10_tpu.config import StoreConfig
+        from rag_icd10_tpu.data.corpus import synthetic_corpus
+        from rag_icd10_tpu.index.vector_store import VectorStore
+
+        n, d, k = 1024, 64, 5
+        corpus = synthetic_corpus(n, seed=23)
+        rng = np.random.default_rng(23)
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        store = VectorStore(
+            dim=d,
+            config=StoreConfig(
+                pad_multiple=128, sharded="on", device_dtype="int8"
+            ),
+        )
+        store.insert_records(list(corpus.records()), vecs)
+        assert store.load_collection()
+        assert store._sharded is not None
+        assert store._sharded.store_dtype == "int8"
+
+        q = vecs[:6] + 0.05 * rng.standard_normal((6, d)).astype(np.float32)
+        q /= np.linalg.norm(q, axis=1, keepdims=True)
+        hits = store.search(q, top_k=k)
+        weighted = (q @ vecs.T) * corpus.level_weights()[None, :]
+        recalls = []
+        for i, row in enumerate(hits):
+            assert len(row) == k
+            # exact-score contract: every served score recomputes from
+            # the fp32 matrix at the served index
+            for h in row:
+                np.testing.assert_allclose(
+                    h.score, weighted[i, h.id], rtol=1e-5, atol=1e-6
+                )
+            expect = set(np.argsort(-weighted[i])[:k].tolist())
+            recalls.append(len(expect & {h.id for h in row}) / k)
+        assert np.mean(recalls) >= 0.9, recalls
+
+        # a configured fp32-kernel default must not 400 the tier...
+        hits2 = store.search(q[:1], top_k=3, method="chunkstream")
+        assert len(hits2[0]) == 3
+        # ...but an explicit unsupported override still raises
+        with pytest.raises(ValueError, match="int8-sharded"):
+            store.search(q[:1], top_k=3, method="fast")
+
 
 class TestInt8ShardedSearch:
     """Capacity tier x sharding (round-5 stretch): the int8-resident
