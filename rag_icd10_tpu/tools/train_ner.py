@@ -167,6 +167,76 @@ def span_f1(pred_spans, gold_spans) -> Tuple[float, float, float]:
     return p, r, f
 
 
+def run_span_eval(args, titles, out: Path) -> int:
+    """Held-out span eval: model vs RULES, standard-type space.
+
+    The comparison that matters for serving: both modes through the full
+    MedicalNERService (type mapping included), on the same sentences —
+    including the marker/connective shapes the rule regexes cannot label
+    by construction. Written to <out>/eval.json so the model-beats-rules
+    claim has an artifact (VERDICT r4 #7).
+    """
+    import os
+
+    from ..config import NERConfig
+    from ..pipeline.ner import MedicalNERService
+
+    os.environ["NER_WEIGHTS_PATH"] = str(out)
+    model_svc = MedicalNERService(NERConfig(use_model=True))
+    rule_svc = MedicalNERService(NERConfig(use_model=False))
+    if not model_svc.use_model:
+        logger.error("freshly saved weights failed to load from %s", out)
+        return 1
+    std_of = {"Disease": "disease", "Symptom": "symptom",
+              "BodyParts": "anatomy", "Drug": "drug"}
+    types = set(std_of.values())
+
+    def svc_spans(svc, text):
+        ents = svc.extract_medical_entities(text, filter_drugs=False)
+        return [
+            (e["text"], etype)
+            for etype in types
+            for e in ents.get(etype, [])
+        ]
+
+    eval_rng = np.random.default_rng(args.seed + 999)
+    scores = {"model": [], "rules": []}
+    for _ in range(150):
+        segments, seg_labels = compose(
+            TEMPLATES[int(eval_rng.integers(0, len(TEMPLATES)))], eval_rng, titles
+        )
+        text = "".join(segments)
+        gold = [
+            (seg, std_of[lab])
+            for seg, lab in zip(segments, seg_labels)
+            if lab is not None
+        ]
+        scores["model"].append(span_f1(svc_spans(model_svc, text), gold))
+        scores["rules"].append(span_f1(svc_spans(rule_svc, text), gold))
+    report = {}
+    for mode, triples in scores.items():
+        arr = np.asarray(triples)
+        report[mode] = {
+            "precision": round(float(arr[:, 0].mean()), 4),
+            "recall": round(float(arr[:, 1].mean()), 4),
+            "f1": round(float(arr[:, 2].mean()), 4),
+        }
+        logger.info(
+            "held-out span eval (%s, 150 sentences, standard types): "
+            "P=%.3f R=%.3f F1=%.3f",
+            mode, report[mode]["precision"], report[mode]["recall"],
+            report[mode]["f1"],
+        )
+    report["note"] = (
+        "gold = template construction (corpus-title disease slots incl. "
+        "marker/connective shapes); spans compared in standard-type space "
+        "through the full MedicalNERService for both modes"
+    )
+    (out / "eval.json").write_text(json.dumps(report, ensure_ascii=False, indent=1))
+    print(f"export NER_WEIGHTS_PATH={out}")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--steps", type=int, default=3000)
@@ -178,6 +248,11 @@ def main(argv=None) -> int:
     parser.add_argument("--out", default="db/ner")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-every", type=int, default=100)
+    parser.add_argument(
+        "--eval-only", action="store_true",
+        help="skip training; run the model-vs-rules span eval against the "
+        "weights already saved under --out (writes <out>/eval.json)",
+    )
     args = parser.parse_args(argv)
 
     logging.basicConfig(
@@ -215,6 +290,9 @@ def main(argv=None) -> int:
         and not (brackets & set(t))
     ]
     logger.info("disease slot pool: %d corpus titles", len(titles))
+
+    if args.eval_only:
+        return run_span_eval(args, titles, Path(args.out))
 
     vocab_texts = list(titles) + list(SYMPTOMS) + list(ANATOMY) + list(DRUGS)
     vocab_texts += ["".join(TEMPLATES)]
@@ -297,71 +375,7 @@ def main(argv=None) -> int:
     }
     (out / "config.json").write_text(json.dumps(config, ensure_ascii=False))
 
-    # ---- held-out span eval: model vs RULES, standard-type space ---------
-    # The comparison that matters for serving: both modes through the
-    # full MedicalNERService (type mapping included), on the same
-    # sentences — including the marker/connective shapes the rule
-    # regexes cannot label by construction. Written to <out>/eval.json
-    # so the model-beats-rules claim has an artifact (VERDICT r4 #7).
-    import os
-
-    from ..config import NERConfig
-    from ..pipeline.ner import MedicalNERService
-
-    os.environ["NER_WEIGHTS_PATH"] = str(out)
-    model_svc = MedicalNERService(NERConfig(use_model=True))
-    rule_svc = MedicalNERService(NERConfig(use_model=False))
-    if not model_svc.use_model:
-        logger.error("freshly saved weights failed to load from %s", out)
-        return 1
-    std_of = {"Disease": "disease", "Symptom": "symptom",
-              "BodyParts": "anatomy", "Drug": "drug"}
-    types = set(std_of.values())
-
-    def svc_spans(svc, text):
-        ents = svc.extract_medical_entities(text, filter_drugs=False)
-        return [
-            (e["text"], etype)
-            for etype in types
-            for e in ents.get(etype, [])
-        ]
-
-    eval_rng = np.random.default_rng(args.seed + 999)
-    scores = {"model": [], "rules": []}
-    for _ in range(150):
-        segments, seg_labels = compose(
-            TEMPLATES[int(eval_rng.integers(0, len(TEMPLATES)))], eval_rng, titles
-        )
-        text = "".join(segments)
-        gold = [
-            (seg, std_of[lab])
-            for seg, lab in zip(segments, seg_labels)
-            if lab is not None
-        ]
-        scores["model"].append(span_f1(svc_spans(model_svc, text), gold))
-        scores["rules"].append(span_f1(svc_spans(rule_svc, text), gold))
-    report = {}
-    for mode, triples in scores.items():
-        arr = np.asarray(triples)
-        report[mode] = {
-            "precision": round(float(arr[:, 0].mean()), 4),
-            "recall": round(float(arr[:, 1].mean()), 4),
-            "f1": round(float(arr[:, 2].mean()), 4),
-        }
-        logger.info(
-            "held-out span eval (%s, 150 sentences, standard types): "
-            "P=%.3f R=%.3f F1=%.3f",
-            mode, report[mode]["precision"], report[mode]["recall"],
-            report[mode]["f1"],
-        )
-    report["note"] = (
-        "gold = template construction (corpus-title disease slots incl. "
-        "marker/connective shapes); spans compared in standard-type space "
-        "through the full MedicalNERService for both modes"
-    )
-    (out / "eval.json").write_text(json.dumps(report, ensure_ascii=False, indent=1))
-    print(f"export NER_WEIGHTS_PATH={out}")
-    return 0
+    return run_span_eval(args, titles, out)
 
 
 if __name__ == "__main__":
