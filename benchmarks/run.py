@@ -675,6 +675,14 @@ def config9_host_tier_16m(cfg, corpus, vectors, weights) -> Dict:
     spectrum = np.linalg.svd(
         np.asarray(sub, np.float32), compute_uv=False
     )
+    import os
+
+    # HOST_TIER_DS / HOST_TIER_MS extend the ladder without re-running
+    # measured rungs (the corpus gen + ground truth alone cost ~30 min)
+    ds = tuple(int(x) for x in
+               os.environ.get("HOST_TIER_DS", "64,128").split(","))
+    ms = tuple(int(x) for x in
+               os.environ.get("HOST_TIER_MS", "128,1024,4096").split(","))
     return _host_tier_bench(
         n=16_777_216, d=768, b=8, k=10,
         # m=4096 is the escape point: BASELINE.md holds approximate
@@ -682,7 +690,7 @@ def config9_host_tier_16m(cfg, corpus, vectors, weights) -> Dict:
         # link; the host then gathers m fp32 rows (~12.6 MB at 4096)
         # and re-ranks exactly — still nothing vs re-scanning the
         # 51.5 GB corpus
-        d_sketches=(64, 128), ms=(128, 1024, 4096), spectrum=spectrum,
+        d_sketches=ds, ms=ms, spectrum=spectrum,
     )
 
 
